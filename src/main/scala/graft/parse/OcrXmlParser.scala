@@ -1,0 +1,350 @@
+package graft.parse
+
+import java.io.StringReader
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.mutable
+
+import graft.model.{Line, Span}
+import graft.text.TextRules
+
+/** Parse failure with reference-compatible message semantics
+  * (lib/ocr_model.py:126-129, :242-244). In the engine a parse failure
+  * becomes a failure row + accumulator tick, never a job abort. */
+final case class ParseError(message: String) extends RuntimeException(message)
+
+object Dialect {
+  val Alto3 = "alto3"
+  val Alto4 = "alto4"
+  val Page2013 = "page2013"
+  val Page2019 = "page2019"
+
+  /** Root-namespace → dialect map (lib/ocr_model.py:16-20). */
+  val byNamespace: Map[String, String] = Map(
+    "http://www.loc.gov/standards/alto/ns-v3#" -> Alto3,
+    "http://www.loc.gov/standards/alto/ns-v4#" -> Alto4,
+    "http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15" -> Page2013,
+    "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15" -> Page2019)
+}
+
+/** One parsed word token. `text` is `None` when the first `Unicode`
+  * element has no text (Python/lxml `None`); `hasUnicode` is false when
+  * the word has no `Unicode` descendant at all (the reference crashes
+  * on `u.text` then — engine: parse error). */
+final case class RawWord(id: String, text: Option[String], centerX: Option[Double],
+    centerY: Option[Double], hasUnicode: Boolean = true)
+
+/** One parsed text line with its layout context. `hasLineUnicode` is
+  * false when a PAGE line has no direct `TextEquiv/Unicode` (reference:
+  * AttributeError crash — engine: parse error). */
+final case class RawLine(
+    id: String,
+    blockId: String,
+    words: Vector[RawWord],
+    lineText: Option[String],
+    lineCenterX: Option[Double],
+    lineCenterY: Option[Double],
+    hasShape: Boolean,
+    hasLineUnicode: Boolean = true)
+
+/** One parsed non-text region (ALTO `Illustration`/`GraphicalElement`). */
+final case class RawMedia(id: String, kind: String)
+
+/** Structured parse result of one OCR document. */
+final case class ParsedDoc(dialect: String, lines: Vector[RawLine], media: Vector[RawMedia])
+
+/** Streaming (StAX) parser for the four OCR dialects the reference
+  * supports (ALTO v3/v4, PAGE 2013/2019 — lib/ocr_model.py:16-20).
+  *
+  * One instance is created *per partition* (never per row) and reused
+  * across all documents of that partition — see [[ParserPool]]. The
+  * reference pays a DOM parse per file (lib/ocr_step.py:365, :536);
+  * the engine replaces that with a pooled pull-parser, the one
+  * physical pattern the target mandates.
+  */
+final class OcrXmlParser {
+
+  private val factory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, java.lang.Boolean.TRUE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    f
+  }
+
+  /** Parse one document's XML payload into the structured line/media
+    * model. Dialect is sniffed from the root element namespace
+    * (lib/ocr_model.py:176-178). */
+  def parse(xml: String): ParsedDoc = {
+    val r = factory.createXMLStreamReader(new StringReader(xml))
+    try parseStream(r)
+    finally r.close()
+  }
+
+  private def parseStream(r: XMLStreamReader): ParsedDoc = {
+    var dialect: String = null
+    val lines = Vector.newBuilder[RawLine]
+    val media = Vector.newBuilder[RawMedia]
+
+    // per-line state
+    var inLine = false
+    var lineId: String = ""
+    var lineBlock: String = ""
+    var lineWords = Vector.newBuilder[RawWord]
+    var lineText: Option[String] = None
+    var lineUnicodeSeen = false // first line-level Unicode wins (lxml find)
+    var lineCenter: Option[(Double, Double)] = None
+    var lineHasShape = false
+
+    // nesting trackers
+    var blockStack: List[String] = Nil
+    var inWord = false
+    var wordId = ""
+    var wordText: Option[String] = None
+    var wordUnicodeSeen = false // first descendant Unicode wins (lxml find)
+    var wordCenter: Option[(Double, Double)] = None
+    var inTextEquiv = false   // direct child of TextLine
+    var inWordTextEquiv = false
+    var unicodeDepth = 0      // >0 while inside a Unicode element
+    val textBuf = new java.lang.StringBuilder
+
+    def attr(name: String): String = {
+      var i = 0
+      var v: String = null
+      while (i < r.getAttributeCount && v == null) {
+        if (r.getAttributeLocalName(i) == name) v = r.getAttributeValue(i)
+        i += 1
+      }
+      v
+    }
+
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          val local = r.getLocalName
+          if (dialect == null) {
+            val ns = Option(r.getNamespaceURI).getOrElse("")
+            dialect = Dialect.byNamespace.getOrElse(ns,
+              throw ParseError(s"unknown root namespace '$ns'"))
+          }
+          local match {
+            case "TextBlock" | "TextRegion" | "ComposedBlock" =>
+              blockStack = Option(attr("ID")).orElse(Option(attr("id"))).getOrElse("") :: blockStack
+            case "TextLine" =>
+              inLine = true
+              lineId = Option(attr("ID")).orElse(Option(attr("id"))).getOrElse("")
+              lineBlock = blockStack.headOption.getOrElse("")
+              lineWords = Vector.newBuilder[RawWord]
+              lineText = None
+              lineUnicodeSeen = false
+              lineCenter = None
+              lineHasShape = attr("HPOS") != null
+            case "String" if inLine =>
+              // ALTO word token: CONTENT attribute (lib/ocr_model.py:89-91)
+              val content = attr("CONTENT")
+              lineWords += RawWord(Option(attr("ID")).getOrElse(""),
+                Option(content), None, None)
+            case "Word" if inLine =>
+              inWord = true
+              wordId = Option(attr("id")).getOrElse("")
+              wordText = None
+              wordUnicodeSeen = false
+              wordCenter = None
+            case "TextEquiv" if inLine =>
+              if (inWord) inWordTextEquiv = true
+              else inTextEquiv = true
+            case "Unicode" if inTextEquiv || inWordTextEquiv =>
+              unicodeDepth += 1
+              textBuf.setLength(0)
+            case "Coords" if inLine =>
+              val pts = attr("points")
+              val center = parseCenter(pts)
+              if (inWord) wordCenter = center
+              else if (lineCenter.isEmpty) lineCenter = center
+              if (center.isDefined && !inWord) lineHasShape = true
+            case "Illustration" =>
+              media += RawMedia(Option(attr("ID")).getOrElse(""), "Illustration")
+            case "GraphicalElement" =>
+              media += RawMedia(Option(attr("ID")).getOrElse(""), "GraphicalElement")
+            case _ =>
+          }
+
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          if (unicodeDepth > 0) textBuf.append(r.getText)
+
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "Unicode" if unicodeDepth > 0 =>
+              unicodeDepth -= 1
+              val t = textBuf.toString
+              // lxml semantics: absent/empty text node → None
+              val opt = if (t.isEmpty) None else Some(t)
+              if (inWordTextEquiv) {
+                if (!wordUnicodeSeen) { wordText = opt; wordUnicodeSeen = true }
+              } else if (inTextEquiv) {
+                if (!lineUnicodeSeen) { lineText = opt; lineUnicodeSeen = true }
+              }
+            case "TextEquiv" =>
+              if (inWordTextEquiv) inWordTextEquiv = false
+              else inTextEquiv = false
+            case "Word" if inWord =>
+              inWord = false
+              lineWords += RawWord(wordId, wordText,
+                wordCenter.map(_._1), wordCenter.map(_._2), wordUnicodeSeen)
+            case "TextLine" if inLine =>
+              inLine = false
+              lines += RawLine(lineId, lineBlock, lineWords.result(), lineText,
+                lineCenter.map(_._1), lineCenter.map(_._2), lineHasShape,
+                lineUnicodeSeen)
+            case "TextBlock" | "TextRegion" | "ComposedBlock" =>
+              if (blockStack.nonEmpty) blockStack = blockStack.tail
+            case _ =>
+          }
+
+        case _ =>
+      }
+    }
+    if (dialect == null) throw ParseError("empty document")
+    ParsedDoc(dialect, lines.result(), media.result())
+  }
+
+  /** PAGE `Coords@points` → centroid, or None when the attribute holds
+    * no coordinate tokens (lib/ocr_model.py:190-200, :181-187). Strict
+    * integer parsing like the reference's `int(...)`. */
+  private def parseCenter(points: String): Option[(Double, Double)] = {
+    if (points == null) return None
+    val toks = TextRules.splitWs(points)
+    if (toks.isEmpty) return None
+    val vals = mutable.ArrayBuffer.empty[Int]
+    toks.foreach { t =>
+      t.split(",").foreach { n =>
+        val s = n.trim
+        if (s.nonEmpty) vals += java.lang.Integer.parseInt(s)
+      }
+    }
+    val nPairs = vals.length / 2
+    if (nPairs == 0) return None
+    var sx = 0L
+    var sy = 0L
+    var i = 0
+    while (i < nPairs) {
+      sx += vals(2 * i); sy += vals(2 * i + 1); i += 1
+    }
+    Some((sx.toDouble / nPairs, sy.toDouble / nPairs))
+  }
+}
+
+object OcrXmlParser {
+
+  /** get_lines (lib/ocr_model.py:203-214): dialect-dispatched line
+    * extraction with min-length filtering and validity handling. */
+  def getLines(doc: ParsedDoc, minLen: Int = 2, reorder: Boolean = false): Vector[Line] =
+    if (doc.dialect.startsWith("alto")) altoLines(doc, minLen)
+    else pageLines(doc, minLen, reorder)
+
+  /** ALTO line model (lib/ocr_model.py:217-223): keep TextLines whose
+    * space-joined `String@CONTENT` length ≥ minLen; tokens kept as-is
+    * (blanks included). */
+  def altoLines(doc: ParsedDoc, minLen: Int): Vector[Line] =
+    doc.lines.flatMap { l =>
+      val contents = l.words.map(_.text.getOrElse(""))
+      if (contents.mkString(" ").length >= minLen) Some(Line(l.id, contents))
+      else None
+    }
+
+  /** PAGE line model (lib/ocr_model.py:101-157, :226-245):
+    *  - line kept iff its direct `TextEquiv/Unicode` text is non-empty
+    *    after strip and ≥ minLen;
+    *  - a line with empty text but Words present is a hard parse error
+    *    ("just words for line ...", lib/ocr_model.py:238-244);
+    *  - Words are the preferred token source, sorted by truncated
+    *    centroid-x (centroid-y if vertical); Word with invalid coords
+    *    is a parse error (lib/ocr_model.py:126-129);
+    *  - a wordless line with invalid coords is skipped (valid=False,
+    *    lib/ocr_model.py:134-140);
+    *  - directional marks stripped from tokens (lib/ocr_model.py:153-157).
+    */
+  def pageLines(doc: ParsedDoc, minLen: Int, reorder: Boolean): Vector[Line] = {
+    val vertical = false
+    doc.lines.flatMap { l =>
+      if (!l.hasLineUnicode)
+        throw ParseError(s"no TextEquiv/Unicode for line '${l.id}'")
+      l.lineText match {
+        case Some(raw) =>
+          val stripped = raw.trim
+          if (stripped.nonEmpty && stripped.length >= minLen) {
+            buildPageLine(l, reorder, vertical)
+          } else None
+        case None =>
+          if (l.words.nonEmpty)
+            throw ParseError(s"just words for line '${l.id}'")
+          None
+      }
+    }
+  }
+
+  private def buildPageLine(l: RawLine, reorder: Boolean, vertical: Boolean): Option[Line] = {
+    def center(w: RawWord): Option[Double] = if (vertical) w.centerY else w.centerX
+    if (l.words.nonEmpty) {
+      l.words.foreach { w =>
+        if (center(w).isEmpty)
+          throw ParseError(s"Invalid Coords of Word '${w.id}' in '${l.id}'!")
+      }
+      val sorted = l.words.sortBy(w => center(w).get.toInt) // stable, int-truncated key
+      sorted.foreach { w =>
+        if (!w.hasUnicode)
+          throw ParseError(s"no Unicode for Word '${w.id}' in '${l.id}'")
+      }
+      val toks = sorted.flatMap(_.text).map(t => TextRules.stripMarks(t.trim))
+      Some(Line(l.id, toks, reorder))
+    } else {
+      val lc = if (vertical) l.lineCenterY else l.lineCenterX
+      if (lc.isEmpty) None // invalid coords → line skipped (valid=False)
+      else {
+        val toks = l.lineText.toVector.map(t => TextRules.stripMarks(t.trim))
+        Some(Line(l.id, toks, reorder))
+      }
+    }
+  }
+
+  /** Flatten a parsed document into the engine's span sequence:
+    * every token (blank ones included — the cleanup stage drops them,
+    * lib/ocr_step.py:581-602) plus media placeholders, in document
+    * order. */
+  def toSpans(docId: String, doc: ParsedDoc): Vector[Span] = {
+    val out = Vector.newBuilder[Span]
+    var off = 0
+    doc.lines.foreach { l =>
+      val ref = Span.LineRefPrefix + l.blockId + "/" + l.id
+      if (l.words.nonEmpty) {
+        l.words.foreach { w =>
+          out += Span(Span.KindText, w.text.getOrElse(""), ref, off)
+          off += 1
+        }
+      } else l.lineText.foreach { t =>
+        // PAGE line without Words: the line's own text is the single
+        // token (lib/ocr_model.py:132-141)
+        out += Span(Span.KindText, t, ref, off)
+        off += 1
+      }
+    }
+    doc.media.foreach { m =>
+      out += Span.media(s"media://$docId/${m.id}", off)
+      off += 1
+    }
+    out.result()
+  }
+}
+
+/** Per-partition parser pool. Inside `mapPartitions` call
+  * `ParserPool.get()` once per partition-task thread; the instance is
+  * reused for every row the task processes (north_star: "no per-row
+  * parser instantiation"). */
+object ParserPool {
+  private val tl = new ThreadLocal[OcrXmlParser] {
+    override def initialValue(): OcrXmlParser = new OcrXmlParser
+  }
+  def get(): OcrXmlParser = tl.get()
+}

@@ -1,0 +1,80 @@
+package graft.run
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.{Doc, Span}
+import graft.parse.{OcrXmlParser, ParserPool}
+
+/** XML → span-table ingestion job: the engine's analog of the
+  * reference's scan + parse front end (ocr_pipeline.py:271-336 +
+  * lib/ocr_step.py:365).
+  *
+  * Reads a directory of ALTO/PAGE XML documents with Spark's
+  * `wholetext` text source (distributed, one row per file), parses
+  * each payload with a *pooled* StAX parser inside `mapPartitions`
+  * (one parser per task, never per row — the north_star physical
+  * pattern), and writes the canonical span table
+  * `(doc_id, spans array<struct<kind,text,media_ref,offset>>)`.
+  *
+  * Parse failures become failure rows (`kind='error'` span carrying
+  * the message) instead of aborting the job — the engine equivalent
+  * of the reference's per-file StepException skip
+  * (ocr_pipeline.py:426-431).
+  */
+object IngestXml {
+
+  val KindError = "error"
+
+  /** Distributed parse of (doc_id, xml) rows into Doc rows. */
+  def parseDocs(raw: Dataset[(String, String)]): Dataset[Doc] = {
+    import raw.sparkSession.implicits._
+    raw.mapPartitions { it =>
+      val parser = ParserPool.get() // one pooled parser per task
+      it.map { case (docId, xml) =>
+        try {
+          val parsed = parser.parse(xml)
+          Doc(docId, OcrXmlParser.toSpans(docId, parsed))
+        } catch {
+          case e: Exception =>
+            Doc(docId, Vector(Span(KindError, Option(e.getMessage).getOrElse(""), "", 0)))
+        }
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outPath) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ingest-xml")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw = spark.read
+      .option("wholetext", "true")
+      .text(s"$inDir/*.xml")
+      .select(
+        org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.input_file_name(), "([^/]+)\\.xml$", 1)
+          .as("doc_id"),
+        org.apache.spark.sql.functions.col("value").as("xml"))
+      .as[(String, String)]
+
+    val docs = parseDocs(raw)
+    docs.write.mode("overwrite").parquet(outPath)
+
+    val summary = docs
+      .map(d => (d.doc_id, d.spans.length,
+        d.spans.count(_.kind == Span.KindText),
+        d.spans.count(_.kind == KindError)))
+      .toDF("doc_id", "n_spans", "n_text", "n_err")
+      .orderBy("doc_id")
+    summary.show(100, truncate = false)
+    spark.stop()
+  }
+}
