@@ -1,0 +1,74 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Checkpoint
+import graft.stages.{ExtractConfig, Extraction}
+
+/** Checkpointed extraction job over a span table — the engine twin of
+  * `python ocr_pipeline.py <data_path>` (ocr_pipeline.py:445-538).
+  *
+  * Usage: ExtractMain <spansParquet> <outRoot> [nParts]
+  *
+  * The corpus is bucketed into `nParts` logical partitions by doc_id
+  * hash (the analog of the reference's directory partitions). Each
+  * partition is processed and committed independently with lineage
+  * metrics; a killed run resumes from the last committed partition
+  * (Checkpoint). Within a partition the plan is fully narrow — scan →
+  * codegen'd span stages → typed estimate map → write — with one tiny
+  * aggregate at the end for the corpus report (S11).
+  */
+object ExtractMain {
+
+  def main(args: Array[String]): Unit = {
+    val inPath = args(0)
+    val outRoot = args(1)
+    val nParts = if (args.length > 2) args(2).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-extract")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, inPath, outRoot, nParts)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, inPath: String, outRoot: String, nParts: Int): Unit = {
+    import spark.implicits._
+    val cfg = ExtractConfig()
+    val ckpt = new Checkpoint(spark, outRoot)
+    val docs = spark.read.parquet(inPath)
+      .withColumn("part", pmod(xxhash64(col("doc_id")), lit(nParts)).cast("int"))
+
+    val todo = ckpt.pending(0 until nParts)
+    println(s"[extract] partitions total=$nParts pending=${todo.size}")
+
+    todo.foreach { p =>
+      val slice = docs.filter($"part" === p).drop("part")
+      val processed = Extraction.pipeline(slice, cfg)
+      // one pass: write data, then commit lineage counts
+      processed.write.mode(SaveMode.Overwrite).parquet(ckpt.dataPath(p))
+      val stats = spark.read.parquet(ckpt.dataPath(p))
+        .agg(count(lit(1)), coalesce(sum(size($"spans")), lit(0L)),
+          count(when($"hit_ratio" === -1.0, 1)))
+        .head()
+      ckpt.commit(p, stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      println(s"[extract] committed part=$p docs=${stats.getLong(0)} spans=${stats.getLong(1)}")
+    }
+
+    // corpus report over all committed data (ocr_pipeline.py:233-269)
+    val all = spark.read.parquet(s"$outRoot/data/p_*").as[graft.stages.ProcessedDoc]
+    val rep = Extraction.report(all)
+    val repDf = Seq(rep).toDF()
+    repDf.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outRoot/report")
+    println(s"[extract] report: mean=${rep.mean} bins=[${rep.b1},${rep.b2},${rep.b3},${rep.b4},${rep.b5}] " +
+      s"total=${rep.n_total} invalid=${rep.n_invalid}")
+    ckpt.lineage().show(truncate = false)
+  }
+}

@@ -1,0 +1,170 @@
+package graft.stages
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Doc, Estimation, EstimationReport, Line, Span}
+import graft.sql.SpanOps
+import graft.text.TextRules
+
+/** One regex replacement rule (C2, lib/ocr_step.py:273-292). */
+final case class RegexRule(pattern: String, old: String, nw: String) {
+  @transient lazy val compiled: Pattern = Pattern.compile(pattern)
+}
+
+/** Configuration of the extraction pipeline — the engine twin of the
+  * reference's ordered `step_NN` ini sections (ocr_pipeline.py:101-118).
+  */
+final case class ExtractConfig(
+    replaceDict: Seq[(String, String)] = TextRules.DefaultReplaceDict,
+    regexRule: Option[RegexRule] = None,
+    minLineLen: Int = 2,   // get_lines min_len (lib/ocr_model.py:203)
+    denseMinLen: Int = 2,  // textlines2data minlen (lib/ocr_step.py:449)
+    reorderRtl: Boolean = false,
+    pagePrefix: String = "p") // StepPostprocessALTO page_prefix (lib/ocr_step.py:552)
+
+/** A document row after the full stage chain: cleaned spans plus the
+  * per-document estimation record. */
+final case class ProcessedDoc(
+    doc_id: String,
+    spans: Seq[Span],
+    page_id: String,
+    hit_ratio: Double,
+    n_words: Int,
+    n_errs: Int,
+    n_lines_in: Int,
+    n_wraps: Int,
+    n_shorts: Int,
+    n_lines_out: Int)
+
+/** The extraction pipeline: the reference's per-document step chain
+  * (ocr_pipeline.py:379-441 with conf/ocr_config.ini:15-37) re-expressed
+  * as a composition of narrow Spark stages over `Dataset[Doc]`.
+  *
+  * Execution shape (100 TB story): every stage is per-row (per-doc) —
+  * there is NO shuffle anywhere in the chain; Catalyst fuses the
+  * column stages into one whole-stage-codegen pass and the estimate
+  * stage is a single narrow typed `mapPartitions`. The only shuffle in
+  * the whole job is the final tiny corpus aggregate. Mega-doc skew is
+  * handled by spreading docs uniformly (repartition on doc_id hash)
+  * before the chain plus AQE; a 10^5-span doc is one task among many,
+  * never a hot partition.
+  */
+object Extraction {
+
+  /** Column stage chain C1 → (C2) → F6 → S8: replace, regex-replace,
+    * blank-span drop, offset re-sort — all Catalyst HOFs, codegen'd,
+    * narrow. */
+  def spanColumnStage(cfg: ExtractConfig)(spans: Column): Column = {
+    val replaced = SpanOps.replaceChars(spans, cfg.replaceDict)
+    val afterRegex = cfg.regexRule match {
+      case Some(r) => regexStageCol(replaced, r)
+      case None    => replaced
+    }
+    SpanOps.sortByOffset(SpanOps.dropBlank(afterRegex))
+  }
+
+  /** C2 as a column op. Spark's `regexp_replace` cannot express
+    * "extract group-1 of the FIRST match, literal-replace inside it,
+    * then replace all copies of the matched literal" — compose
+    * regexp_extract + replace instead (SURVEY.md §2.8 C2). */
+  def regexStageCol(spans: Column, rule: RegexRule): Column =
+    SpanOps.mapText(spans) { t =>
+      val m = regexp_extract(t, rule.pattern, 1)
+      when(m === "", t)
+        .otherwise(replace(t, m, replace(m, lit(rule.old), lit(rule.nw))))
+    }
+
+  /** Group consecutive cleaned text spans into lines by their
+    * `line://` parent ref, preserving order — the engine's `get_lines`
+    * (lib/ocr_model.py:203-214). Media/error spans are skipped. */
+  def toLines(spans: Seq[Span], minLineLen: Int, reorder: Boolean): Vector[Line] = {
+    val lines = Vector.newBuilder[Line]
+    var curKey: String = null
+    var curWords = Vector.newBuilder[String]
+    def flush(): Unit = if (curKey != null) {
+      val words = curWords.result()
+      if (words.mkString(" ").length >= minLineLen)
+        lines += Line(curKey, words, reorder)
+    }
+    spans.foreach { s =>
+      if (s.kind == Span.KindText) {
+        val key = Span.lineKey(s.media_ref)
+        if (key != curKey) { flush(); curKey = key; curWords = Vector.newBuilder[String] }
+        curWords += s.text
+      }
+    }
+    flush()
+    lines.result()
+  }
+
+  /** Per-document estimation (StepEstimateOCR, lib/ocr_step.py:337-424):
+    * line model → wrap merge → sanitize → dense filter → word/error
+    * counts → hit ratio. `errorOracle` is the deterministic stand-in
+    * for the LanguageTool service (E2): word string → raw error count.
+    */
+  def estimateDoc(doc: Doc, cfg: ExtractConfig,
+      errorOracle: String => Int = TextRules.countErrors): ProcessedDoc = {
+    val lines = toLines(doc.spans, cfg.minLineLen, cfg.reorderRtl)
+    var ratio = Estimation.MissingRatio
+    var nWords = 0; var nErrs = 0
+    var nIn = 0; var nWraps = 0; var nShorts = 0; var nOut = 0
+    if (lines.nonEmpty) {
+      val (wordString, in, wraps, shorts, out) =
+        TextRules.textlinesToData(lines.map(_.content), cfg.denseMinLen)
+      if (wordString.nonEmpty) {
+        nIn = in; nWraps = wraps; nShorts = shorts; nOut = out
+        nWords = TextRules.splitWs(wordString).length
+        val (r, e) = TextRules.hitRatio(nWords, errorOracle(wordString))
+        ratio = r; nErrs = e
+      }
+    }
+    ProcessedDoc(doc.doc_id, doc.spans, cfg.pagePrefix + doc.doc_id,
+      ratio, nWords, nErrs, nIn, nWraps, nShorts, nOut)
+  }
+
+  /** Full pipeline over a span table. Input: DataFrame with columns
+    * (doc_id, spans). Output: Dataset[ProcessedDoc]. */
+  def pipeline(docs: DataFrame, cfg: ExtractConfig = ExtractConfig()): Dataset[ProcessedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cleaned = docs.select(
+      col("doc_id"),
+      spanColumnStage(cfg)(col("spans")).as("spans"))
+    cleaned.as[Doc].mapPartitions { it =>
+      it.map(d => estimateDoc(d, cfg))
+    }
+  }
+
+  /** Corpus-level estimation report (ocr_pipeline.py:233-269 +
+    * StepEstimateOCR.analyze lib/ocr_step.py:426-446): mean of valid
+    * hit ratios (Python-rounded), five 15-point bins, valid/invalid
+    * split. One tiny aggregate — the only shuffle of the job. */
+  def report(processed: Dataset[ProcessedDoc]): EstimationReport = {
+    val spark = processed.sparkSession
+    import spark.implicits._
+    val agg = processed
+      .select($"hit_ratio")
+      .agg(
+        sum(when($"hit_ratio" =!= Estimation.MissingRatio, $"hit_ratio")).as("s"),
+        count(when($"hit_ratio" =!= Estimation.MissingRatio, lit(1))).as("nv"),
+        count(when($"hit_ratio" === Estimation.MissingRatio, lit(1))).as("ni"),
+        count(lit(1)).as("n"),
+        count(when(SpanOps.binId($"hit_ratio") === 0 && $"hit_ratio" =!= -1, 1)).as("b1"),
+        count(when(SpanOps.binId($"hit_ratio") === 1, 1)).as("b2"),
+        count(when(SpanOps.binId($"hit_ratio") === 2, 1)).as("b3"),
+        count(when(SpanOps.binId($"hit_ratio") === 3, 1)).as("b4"),
+        count(when(SpanOps.binId($"hit_ratio") >= 4, 1)).as("b5"))
+      .head()
+    val nv = agg.getAs[Long]("nv")
+    val mean =
+      if (nv == 0) 0.0
+      else TextRules.pyRound(agg.getAs[Double]("s") / nv, 3)
+    EstimationReport(mean,
+      agg.getAs[Long]("b1"), agg.getAs[Long]("b2"), agg.getAs[Long]("b3"),
+      agg.getAs[Long]("b4"), agg.getAs[Long]("b5"),
+      agg.getAs[Long]("n"), agg.getAs[Long]("ni"))
+  }
+}
