@@ -1,24 +1,61 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Queries
+
+/** Per-round benchmark: runs every driver-contract query against
+  * SPARK_GRAFT_SF_DIR plus the extraction pipeline throughput, prints
+  * ONE JSON line. Queries are forced through the noop sink so column
+  * work is not pruned away (a `count()` would let Catalyst drop every
+  * projection).
+  */
 object Bench {
+
+  def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // JVM/codegen warmup on a cheap query
+    try force(Queries.all.head.fn(spark, sfDir)) catch { case _: Throwable => }
+
+    val results = Queries.all.map { q =>
+      val sec = try time(force(q.fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      q.name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // extraction pipeline throughput (docs/sec) on a generated
+    // interleaved+skewed corpus — the engine's headline metric
+    val nDocs = 20000L
+    val corpus = graft.gen.CorpusGen.docs(spark, nDocs, "skewed", 42L, 50000)
+      .toDF().cache()
+    corpus.count() // materialize so we time the pipeline, not the generator
+    val extractSec = time(force(graft.stages.Extraction.pipeline(corpus).toDF()))
+    val docsPerSec = nDocs / extractSec
+    corpus.unpersist()
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum + extractSec
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec%.1f,"extract_docs":$nDocs,"extract_sec":$extractSec%.3f}""")
     spark.stop()
   }
 }

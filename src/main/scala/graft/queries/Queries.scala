@@ -1,0 +1,650 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sql.SpanOps
+
+/** One driver-contract query: a Spark implementation plus (when the
+  * operator is SQL-expressible) a DuckDB oracle producing the same
+  * rows/columns. Column names are kept identical on both sides (the
+  * driver hashes values under sorted column names).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The engine's operator surface exposed over the driver's test tables
+  * (TESTDATA.md): the reference's operator inventory (SURVEY.md §2) on
+  * the relational tables, plus the extraction/text/dedup/similarity
+  * operators a large-scale training-data pipeline needs, over
+  * `documents` and `embeddings`.
+  *
+  * Determinism rules: every query ends in a total ORDER BY; every
+  * floating aggregate is rounded; joins/windows carry explicit
+  * tie-breaks.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ===================================================================
+  // Relational operator inventory (S/F/J/A/W/O/U of SURVEY.md §2)
+  // ===================================================================
+
+  private val q01 = QueryDef("q01_agg",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 3).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_price,
+            round(avg(l_discount), 3) AS avg_disc,
+            count(*) AS n
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val q02 = QueryDef("q02_filter_sort_limit",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1994-01-01") &&
+        col("l_shipdate") < lit("1995-01-01") && col("l_discount") >= 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100),
+    Some("""SELECT l_orderkey, l_linenumber,
+            round(l_extendedprice * (1 - l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01' AND l_discount >= 0.05
+            ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 100"""))
+
+  private val q03 = QueryDef("q03_join_broadcast",
+    (s, d) => t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("r_name")),
+    Some("""SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
+  private val q04 = QueryDef("q04_semi_join",
+    (s, d) => t(s, d, "supplier")
+      .join(t(s, d, "lineitem"), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey")),
+    Some("""SELECT s_suppkey, s_name FROM supplier
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+            ORDER BY s_suppkey"""))
+
+  private val q05 = QueryDef("q05_anti_join",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  private val q06 = QueryDef("q06_window_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, rn FROM (
+              SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  private val q07 = QueryDef("q07_running_sum",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("user_id") < 50)
+        .withColumn("running", round(sum(col("value")).over(w), 2))
+        .select(col("user_id"), col("event_id"), col("running"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+            FROM events WHERE user_id < 50 ORDER BY user_id, event_id"""))
+
+  private val q08 = QueryDef("q08_distinct",
+    (s, d) => t(s, d, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+    Some("""SELECT DISTINCT o_orderstatus, o_orderpriority
+            FROM orders ORDER BY 1, 2"""))
+
+  private val q09 = QueryDef("q09_conditional_agg",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_disc"),
+        round(sum(when(col("l_tax") > 0.04, col("l_extendedprice"))), 2).as("taxed_price"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(*) AS n_total,
+              count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_disc,
+              round(sum(CASE WHEN l_tax > 0.04 THEN l_extendedprice END), 2) AS taxed_price
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  // A5 histogram semantics: floor(x / step) clamped to bins-1
+  private val q10 = QueryDef("q10_histogram",
+    (s, d) => t(s, d, "lineitem")
+      .select(SpanOps.binId(col("l_extendedprice") / 150.0).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bin")),
+    Some("""SELECT CAST(least(floor(l_extendedprice / 150.0 / 15), 4) AS INT) AS bin,
+              count(*) AS n
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  private val q11 = QueryDef("q11_multi_join_revenue",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_name")),
+    Some("""SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              count(*) AS n
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
+  private val q12 = QueryDef("q12_time_window",
+    (s, d) => t(s, d, "events")
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+        col("event_type"), col("value"))
+      .groupBy(col("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+      .orderBy(col("hour_ts"), col("event_type")),
+    Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+              event_type, count(*) AS n, round(sum(value), 2) AS sum_val
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val q13 = QueryDef("q13_json_extract",
+    (s, d) => t(s, d, "events")
+      .select(get_json_object(col("props"), "$.k").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k")),
+    Some("""SELECT json_extract_string(props, '$.k') AS k, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
+  private val q14 = QueryDef("q14_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("double")
+              - col("prev_ts").cast("timestamp").cast("double") > 1800, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+            FROM (
+              SELECT user_id,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events)
+            GROUP BY user_id ORDER BY user_id"""))
+
+  // ===================================================================
+  // Extraction / text analysis over `documents` (C/F/A ops + training
+  // data pipeline operators)
+  // ===================================================================
+
+  /** Whitespace tokens of the trimmed text (Python str.split). */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  private val q15 = QueryDef("q15_sanitize_chars",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), SpanOps.sanitizeCharsCol(col("text")).as("clean"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, array_to_string(list_filter(
+              string_split_regex(trim(replace(translate(text,
+                '0123456789“„"''?!*.;:-=[]()|', ''), 'ſ', 's')), '\s+'),
+              x -> length(x) > 1), ' ') AS clean
+            FROM documents ORDER BY doc_id"""))
+
+  private val q16 = QueryDef("q16_token_count",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(toks(col("text")))).as("n_tokens"),
+        length(col("text")).as("len"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+              length(text) AS len
+            FROM documents ORDER BY doc_id"""))
+
+  // A3 word/error ratio with a SQL-expressible deterministic oracle:
+  // error := token of length ≤ 2 or containing a digit
+  private val q17 = QueryDef("q17_word_error_ratio",
+    (s, d) => t(s, d, "documents")
+      .withColumn("tk", toks(col("text")))
+      .withColumn("n_words", size(col("tk")))
+      .withColumn("n_errs", size(filter(col("tk"),
+        x => length(x) <= 2 || x.rlike("[0-9]"))))
+      .select(col("doc_id"), col("n_words"), col("n_errs"),
+        when(col("n_words") <= col("n_errs"), 0.0)
+          .otherwise(round((col("n_words") - col("n_errs")).cast("double")
+            / col("n_words") * 100, 3)).as("ratio"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, n_words, n_errs,
+              CASE WHEN n_words <= n_errs THEN 0.0
+                   ELSE round(CAST(n_words - n_errs AS DOUBLE) / n_words * 100, 3)
+              END AS ratio
+            FROM (
+              SELECT doc_id,
+                len(string_split_regex(trim(text), '\s+')) AS n_words,
+                len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> length(x) <= 2 OR regexp_matches(x, '[0-9]'))) AS n_errs
+              FROM documents)
+            ORDER BY doc_id"""))
+
+  // A4/A5/A7 corpus report over the q17 ratios
+  private val q18 = QueryDef("q18_quality_report",
+    (s, d) => {
+      val ratios = q17.fn(s, d).select(col("ratio"))
+      ratios.agg(
+        round(avg(col("ratio")), 3).as("mean"),
+        count(when(SpanOps.binId(col("ratio")) === 0, 1)).as("b1"),
+        count(when(SpanOps.binId(col("ratio")) === 1, 1)).as("b2"),
+        count(when(SpanOps.binId(col("ratio")) === 2, 1)).as("b3"),
+        count(when(SpanOps.binId(col("ratio")) === 3, 1)).as("b4"),
+        count(when(SpanOps.binId(col("ratio")) === 4, 1)).as("b5"),
+        count(lit(1)).as("n_total"))
+    },
+    Some("""WITH r AS (
+              SELECT CASE WHEN n_words <= n_errs THEN 0.0
+                   ELSE round(CAST(n_words - n_errs AS DOUBLE) / n_words * 100, 3)
+              END AS ratio FROM (
+                SELECT len(string_split_regex(trim(text), '\s+')) AS n_words,
+                  len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> length(x) <= 2 OR regexp_matches(x, '[0-9]'))) AS n_errs
+                FROM documents))
+            SELECT round(avg(ratio), 3) AS mean,
+              count(CASE WHEN least(floor(ratio/15), 4) = 0 THEN 1 END) AS b1,
+              count(CASE WHEN least(floor(ratio/15), 4) = 1 THEN 1 END) AS b2,
+              count(CASE WHEN least(floor(ratio/15), 4) = 2 THEN 1 END) AS b3,
+              count(CASE WHEN least(floor(ratio/15), 4) = 3 THEN 1 END) AS b4,
+              count(CASE WHEN least(floor(ratio/15), 4) = 4 THEN 1 END) AS b5,
+              count(*) AS n_total
+            FROM r"""))
+
+  // C1 ordered literal multi-replace (chain order is the semantics)
+  private val q19 = QueryDef("q19_replace_chars",
+    (s, d) => {
+      val dict = Seq("dup" -> "dupl", "ic)" -> "ich", "s<" -> "sc", "<" -> "c")
+      val replaced = dict.foldLeft(col("text")) { case (acc, (k, v)) =>
+        replace(acc, lit(k), lit(v))
+      }
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(replaced).as("replaced_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+              md5(replace(replace(replace(replace(text,
+                'dup', 'dupl'), 'ic)', 'ich'), 's<', 'sc'), '<', 'c')) AS replaced_md5
+            FROM documents ORDER BY doc_id"""))
+
+  // ===================================================================
+  // Deduplication family
+  // ===================================================================
+
+  private val q20 = QueryDef("q20_dedup_exact",
+    (s, d) => t(s, d, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(md5(col("text")).as("fp"), col("keeper"), col("n_copies"))
+      .orderBy(col("keeper")),
+    Some("""SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY keeper"""))
+
+  // bag-of-words fingerprint dedup (order-insensitive near-dup)
+  private val q21 = QueryDef("q21_dedup_fingerprint",
+    (s, d) => t(s, d, "documents")
+      .withColumn("fp", md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .orderBy(col("keeper")),
+    Some("""SELECT md5(array_to_string(list_sort(list_distinct(
+              string_split_regex(trim(text), '\s+'))), ' ')) AS fp,
+              min(doc_id) AS keeper, count(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY keeper"""))
+
+  // n-gram (token-set) Jaccard near-dup pairs, blocked by n_chars
+  private val q22 = QueryDef("q22_ngram_jaccard",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          array_distinct(toks(col("text"))).as("tk"))
+      val a = docs.select(col("doc_id").as("d1"), col("n_chars").as("nc"), col("tk").as("tk1"))
+      val b = docs.select(col("doc_id").as("d2"), col("n_chars").as("nc"), col("tk").as("tk2"))
+      a.join(b, Seq("nc")).filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          round(size(array_intersect(col("tk1"), col("tk2"))).cast("double")
+            / size(array_union(col("tk1"), col("tk2"))), 3).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some("""WITH dd AS (
+              SELECT doc_id, n_chars,
+                list_distinct(string_split_regex(trim(text), '\s+')) AS tk
+              FROM documents)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+              round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+                len(list_distinct(list_concat(a.tk, b.tk))), 3) AS jaccard
+            FROM dd a JOIN dd b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+                len(list_distinct(list_concat(a.tk, b.tk))) >= 0.2995
+            ORDER BY d1, d2"""))
+
+  /** MinHash machinery shared by q23/q24 (md5-based hashes so the
+    * DuckDB oracle computes identical signatures). Shingles are word
+    * 3-grams of the token sequence. */
+  private val MinhashK = 8
+  private def shinglesCol(c: Column): Column = {
+    val tk = toks(c)
+    when(size(tk) >= 3,
+      array_distinct(transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", slice(tk, i, lit(3))))))
+      .otherwise(array_distinct(array(array_join(tk, " "))))
+  }
+  private def minhashCol(sh: Column, i: Int): Column =
+    array_min(transform(sh, x =>
+      conv(substring(md5(concat(lit(s"$i:"), x)), 1, 15), 16, 10).cast("long")))
+  private def minhashSqlExpr(i: Int): String =
+    s"""list_min(list_transform(sh, x ->
+        CAST(CONCAT('0x', substr(md5(CONCAT('$i:', x)), 1, 15)) AS BIGINT)))"""
+  private val shingleSql =
+    """CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(
+         range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+       ELSE list_distinct([array_to_string(tk, ' ')]) END"""
+
+  private val q23 = QueryDef("q23_minhash_signature",
+    (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), shinglesCol(col("text")).as("sh"))
+      val sig = (0 until MinhashK).foldLeft(base) { (df, i) =>
+        df.withColumn(s"h$i", minhashCol(col("sh"), i))
+      }
+      sig.select(col("doc_id") +: (0 until MinhashK).map(i => col(s"h$i")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tt AS (
+               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+               FROM documents),
+             ss AS (SELECT doc_id, $shingleSql AS sh FROM tt)
+             SELECT doc_id, ${(0 until MinhashK).map(i =>
+               s"${minhashSqlExpr(i)} AS h$i").mkString(", ")}
+             FROM ss ORDER BY doc_id"""))
+
+  // LSH banding: 4 bands × 2 rows; candidate pairs share ≥1 band
+  private val q24 = QueryDef("q24_minhash_lsh_pairs",
+    (s, d) => {
+      val sig = q23.fn(s, d)
+      val banded = sig.select(col("doc_id"),
+        array((0 until MinhashK / 2).map(b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*)
+          .as("bands"))
+        .select(col("doc_id"), explode(col("bands")).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      // one shuffle instead of a self-join (which would recompute the
+      // md5 signature on both sides): group docs per (band, bucket),
+      // emit intra-bucket pairs with a nested-transform HOF, count
+      // shared bands per pair
+      banded
+        .groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+            struct(a.as("d1"), b.as("d2")))))).as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""WITH tt AS (
+               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+               FROM documents),
+             ss AS (SELECT doc_id, $shingleSql AS sh FROM tt),
+             sig AS (SELECT doc_id, ${(0 until MinhashK).map(i =>
+               s"${minhashSqlExpr(i)} AS h$i").mkString(", ")} FROM ss),
+             bands AS (${(0 until MinhashK / 2).map(b =>
+               s"""SELECT doc_id, $b AS band,
+                   md5(CONCAT(h${2 * b}, '_', h${2 * b + 1})) AS bh FROM sig""")
+               .mkString(" UNION ALL ")})
+             SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 ORDER BY d1, d2"""))
+
+  // SimHash (16-bit, md5-based bit votes over distinct tokens)
+  private val q25 = QueryDef("q25_simhash",
+    (s, d) => {
+      val tk = array_distinct(toks(col("text")))
+      val h = (x: Column) => conv(substring(md5(x), 1, 4), 16, 10).cast("long")
+      val bits = (0 until 16).map { j =>
+        val vote = aggregate(tk, lit(0L), (acc, x) =>
+          acc + when(shiftright(h(x), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        when(vote > 0, lit(1L << j)).otherwise(0L)
+      }
+      t(s, d, "documents")
+        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bitSql = (0 until 16).map { j =>
+        s"""CASE WHEN list_sum(list_transform(tk, x ->
+            CASE WHEN (CAST(CONCAT('0x', substr(md5(x), 1, 4)) AS BIGINT) >> $j) & 1 = 1
+            THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""SELECT doc_id, CAST($bitSql AS BIGINT) AS simhash FROM (
+            SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS tk
+            FROM documents) ORDER BY doc_id"""
+    })
+
+  // ===================================================================
+  // Similarity search over `embeddings`
+  // ===================================================================
+
+  /** Cosine similarity of two double arrays via zip_with + aggregate. */
+  private def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
+    dot / (na * nb)
+  }
+
+  private val q26 = QueryDef("q26_cosine_vs_query",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          (round(cosineCol(col("e"), col("qe")), 3) + lit(0.0)).as("cos"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT e.vec_id, e.label,
+              round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])) /
+                (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                    CAST(e.embedding AS DOUBLE[]))) *
+                 sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])))), 3) + 0.0 AS cos
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY e.vec_id"""))
+
+  // brute-force top-k neighbors of each of the first 5 vectors
+  private val q27 = QueryDef("q27_knn_bruteforce",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val w = Window.partitionBy(col("qid")).orderBy(desc("cos_exact"), col("vec_id"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_exact", cosineCol(col("e"), col("qe")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"), col("rk"),
+          (round(col("cos_exact"), 3) + lit(0.0)).as("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some("""WITH pairs AS (
+              SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])) /
+                (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                    CAST(e.embedding AS DOUBLE[]))) *
+                 sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])))) AS cos_exact
+              FROM embeddings e, embeddings q
+              WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+            ranked AS (
+              SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY cos_exact DESC, vec_id) AS rk,
+                round(cos_exact, 3) + 0.0 AS cos
+              FROM pairs)
+            SELECT qid, vec_id, rk, cos FROM ranked WHERE rk <= 10
+            ORDER BY qid, rk"""))
+
+  // ===================================================================
+  // Catalog join (J3 media-ref resolution analog)
+  // ===================================================================
+
+  private val q28 = QueryDef("q28_catalog_join",
+    (s, d) => {
+      val cat = t(s, d, "documents").select(col("source")).distinct()
+        .select(col("source"), concat(lit("catalog://"), col("source")).as("resolved"))
+      t(s, d, "documents")
+        .join(broadcast(cat), Seq("source"))
+        .groupBy(col("resolved"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("resolved"))
+    },
+    Some("""SELECT CONCAT('catalog://', source) AS resolved,
+              count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY source ORDER BY resolved"""))
+
+  // ===================================================================
+  // Rows-only queries (not SQL-expressible → weaker rows>0 check)
+  // ===================================================================
+
+  /** Synthesize the span table from `documents` deterministically
+    * (Catalyst-only), run the full extraction pipeline over it. */
+  def documentsAsSpans(s: SparkSession, d: String): DataFrame = {
+    val tk = toks(col("text"))
+    t(s, d, "documents").select(
+      col("doc_id").cast("string").as("doc_id"),
+      transform(tk, (x, i) => struct(
+        lit("text").as("kind"),
+        x.as("text"),
+        concat(lit("line://b0/l"), floor(i / 8)).as("media_ref"),
+        i.cast("int").as("offset"))).as("spans"))
+  }
+
+  private val q29 = QueryDef("q29_span_pipeline",
+    (s, d) => {
+      val spans = documentsAsSpans(s, d)
+      graft.stages.Extraction.pipeline(spans)
+        .select(col("doc_id"), size(col("spans")).as("n_spans"),
+          col("n_words"), col("n_lines_in"), col("n_lines_out"), col("hit_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  private val q30 = QueryDef("q30_lang_id",
+    (s, d) => {
+      // n-gram/stopword-profile heuristic language id (rows-only:
+      // the heuristic itself is engine-defined)
+      val profiles = Map(
+        "en" -> Seq("the", "and", "of", "to", "a"),
+        "de" -> Seq("der", "die", "und", "das", "ist"),
+        "fr" -> Seq("le", "la", "et", "les", "des"),
+        "es" -> Seq("el", "la", "los", "de", "que"))
+      val tk = toks(col("text"))
+      val scores = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+        struct(size(array_intersect(tk, lit(words.toArray))).as("score"),
+          lit(lang).as("lang"))
+      }
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang").as("lang_actual"),
+          greatest(scores: _*).getField("lang").as("lang_pred"),
+          greatest(scores: _*).getField("score").as("score"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  private val q31 = QueryDef("q31_ann_lsh_buckets",
+    (s, d) => {
+      // random-hyperplane LSH: 12 deterministic pseudo-random planes
+      val dims = 64; val nPlanes = 12
+      val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+        (0 until dims).map { i =>
+          val h = graft.gen.CorpusGen.mix64(p.toLong * 1024 + i)
+          (h.toDouble / Long.MaxValue.toDouble)
+        }
+      }
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val sigBits = (0 until nPlanes).map { p =>
+        val dot = aggregate(zip_with(col("e"), typedLit(planes(p)), (x, y) => x * y),
+          lit(0.0), _ + _)
+        when(dot > 0, lit(1L << p)).otherwise(0L)
+      }
+      emb.withColumn("bucket", sigBits.reduce(_ + _))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+        .orderBy(col("bucket"))
+    },
+    None)
+
+  /** All queries, in stable order. */
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+}

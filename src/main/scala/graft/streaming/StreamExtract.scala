@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.stages.{ExtractConfig, Extraction}
+
+/** Incremental ingestion as Structured Streaming — the engine twin of
+  * the reference's cron + marker-file incrementality (T1/T2,
+  * manage-container-ocr.sh:33-101): new span files appearing under the
+  * input path are picked up, run through the identical stage chain,
+  * and committed exactly-once via the streaming checkpoint.
+  *
+  * The whole extraction chain is stateless per document, so it runs
+  * unchanged under the micro-batch engine; `Trigger.AvailableNow`
+  * reproduces the reference's "process everything currently open,
+  * then stop" cron tick.
+  */
+object StreamExtract {
+
+  /** Start an AvailableNow extraction pass: spans parquet dir → processed
+    * parquet dir, exactly-once via `checkpointDir`. */
+  def availableNow(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, cfg: ExtractConfig = ExtractConfig()): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(inDir)
+    val processed = Extraction.pipeline(stream.toDF(), cfg).toDF()
+    processed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Windowed per-source quality monitoring over a processed-doc
+    * stream: 10-minute tumbling mean hit ratio with a watermark —
+    * the streaming analog of the corpus report (A4). */
+  def qualityByWindow(processed: DataFrame, tsCol: String): DataFrame = {
+    processed
+      .withWatermark(tsCol, "30 minutes")
+      .groupBy(window(col(tsCol), "10 minutes"))
+      .agg(round(avg(col("hit_ratio")), 3).as("mean_ratio"),
+        count(lit(1)).as("n_docs"))
+  }
+}
