@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-executor benchmark entry point, launched via spark-submit
+  * (north_rule: "run via spark-submit on a multi-executor cluster at
+  * two cluster sizes"). The master (e.g. `local-cluster[1,4,8192]` vs
+  * `local-cluster[4,4,8192]` — real executor JVMs) comes from
+  * spark-submit; this main just reads the pre-generated span corpus,
+  * runs the extraction pipeline (warmup + best-of-2), and prints one
+  * JSON line.
+  *
+  * Usage: spark-submit --master local-cluster[E,C,M] \
+  *          --class graft.ClusterBench <jar> <spansParquet> <label>
+  */
+object ClusterBench {
+  def main(args: Array[String]): Unit = {
+    val spansPath = args(0)
+    val label = if (args.length > 1) args(1) else "run"
+    val spark = SparkSession.builder()
+      .appName(s"graft-cluster-bench-$label")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(spansPath)
+    val n = docs.count()
+    Bench.force(graft.stages.Extraction.pipeline(docs).toDF()) // warmup
+    // executors are registered by now (post-warmup)
+    val execs = spark.sparkContext.getExecutorMemoryStatus.size - 1
+    val cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", math.max(cores, 2).toString)
+    val sec = (1 to 4).map(_ =>
+      Bench.time(Bench.force(graft.stages.Extraction.pipeline(docs).toDF()))).min
+    println(f"""{"metric":"cluster-bench","label":"$label","executors":$execs,"cores":$cores,"n_docs":$n,"sec":$sec%.3f,"docs_per_sec":${n / sec}%.1f}""")
+    spark.stop()
+  }
+}
+
+/** Deterministic span-corpus generator main (inputs for the cluster
+  * bench; seed fixed, no external data). Usage: GenCorpus <out> <nDocs>
+  * [profile] [files] */
+object GenCorpus {
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val nDocs = args(1).toLong
+    val profile = if (args.length > 2) args(2) else "skewed"
+    val files = if (args.length > 3) args(3).toInt else 128
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-gen")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.gen.CorpusGen.docs(spark, nDocs, profile, 42L, 50000)
+      .toDF().repartition(files)
+      .write.mode("overwrite").parquet(out)
+    println(s"""{"metric":"gen","out":"$out","n_docs":$nDocs,"files":$files}""")
+    spark.stop()
+  }
+}

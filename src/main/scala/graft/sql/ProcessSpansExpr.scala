@@ -1,0 +1,183 @@
+package graft.sql
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.text.TextRules
+
+/** Serializable pipeline parameters for [[ProcessSpans]]. */
+final case class ProcessConfig(
+    replaceDict: Seq[(String, String)],
+    regex: Option[(String, String, String)], // (pattern, old, new)
+    minLineLen: Int,
+    denseMinLen: Int) {
+  @transient lazy val compiledRegex: Option[Pattern] =
+    regex.map { case (p, _, _) => Pattern.compile(p) }
+}
+
+/** The whole per-document stage chain (C1 → C2 → F6 → S8 → line model
+  * → W3/C4 → A3 estimation) as ONE custom Catalyst expression over the
+  * span array.
+  *
+  * Why an Expression instead of HOF chains + a typed map: Spark's
+  * higher-order functions are interpreted (non-codegen) and rebuild
+  * the struct array once per stage, and a typed `map` pays the full
+  * UnsafeRow → case-class → UnsafeRow encoder round-trip per document.
+  * This expression walks the Catalyst `ArrayData` directly, applies
+  * the identical reference semantics (delegated to
+  * [[graft.text.TextRules]]), and materializes one output struct —
+  * single pass, minimal allocation, no object-graph churn. Per-doc and
+  * narrow, so it scales embarrassingly at cluster size.
+  *
+  * Output: struct(spans: array<span>, hit_ratio double, n_words int,
+  * n_errs int, n_lines_in int, n_wraps int, n_shorts int,
+  * n_lines_out int).
+  */
+case class ProcessSpans(child: Expression, cfg: ProcessConfig)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ProcessSpans.outputType
+  override def nullable: Boolean = child.nullable
+
+  override protected def withNewChildInternal(newChild: Expression): ProcessSpans =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+
+    // 1. collect (kind-is-text, text-after-replacements, ref, offset),
+    //    dropping blanks (F6) — one pass
+    val kinds = new Array[UTF8String](n)
+    val texts = new Array[String](n)
+    val refs = new Array[UTF8String](n)
+    val offsets = new Array[Int](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val row = if (arr.isNullAt(i)) null else arr.getStruct(i, 4)
+      if (row != null) {
+        val kind = row.getUTF8String(0)
+        val isText = kind != null && ProcessSpans.isTextKind(kind)
+        var text = if (row.isNullAt(1)) "" else row.getUTF8String(1).toString
+        if (isText) {
+          var di = 0
+          while (di < cfg.replaceDict.length) {
+            val (k, v) = cfg.replaceDict(di)
+            if (text.contains(k)) text = text.replace(k, v)
+            di += 1
+          }
+          cfg.compiledRegex.foreach { p =>
+            val (_, old, nw) = cfg.regex.get
+            text = TextRules.regexGroupReplace(text, p, old, nw)._1
+          }
+        }
+        val keep = !isText || text.trim.nonEmpty
+        if (keep) {
+          kinds(m) = kind
+          texts(m) = text
+          refs(m) = if (row.isNullAt(2)) null else row.getUTF8String(2)
+          offsets(m) = if (row.isNullAt(3)) 0 else row.getInt(3)
+          m += 1
+        }
+      }
+      i += 1
+    }
+
+    // 2. stable sort by offset (S8)
+    val sorted = Array.tabulate(m)(identity).sortBy(i => offsets(i)) // stable
+
+    // 3. line model: group consecutive text spans by parent ref
+    // (same consecutive-key semantics as Extraction.toLines, null-safe)
+    val lineContents = Vector.newBuilder[String]
+    var started = false
+    var curRef: UTF8String = null
+    var curBuf: StringBuilder = null
+    var curLen = 0
+    def sameKey(a: UTF8String, b: UTF8String): Boolean =
+      (a == null && b == null) || (a != null && a.equals(b))
+    def flushLine(): Unit = if (started) {
+      val joined = curBuf.toString
+      if (joined.length >= cfg.minLineLen) lineContents += joined
+    }
+    var j = 0
+    while (j < m) {
+      val k = sorted(j)
+      if (ProcessSpans.isTextKind(kinds(k))) {
+        val ref = refs(k)
+        if (!started || !sameKey(curRef, ref)) {
+          flushLine()
+          started = true; curRef = ref; curBuf = new StringBuilder; curLen = 0
+        }
+        if (curLen > 0) curBuf.append(' ')
+        curBuf.append(texts(k))
+        curLen += 1
+      }
+      j += 1
+    }
+    flushLine()
+
+    // 4. estimation (W3 + C4 + A3)
+    val lines = lineContents.result()
+    var ratio = -1.0
+    var nWords = 0; var nErrs = 0
+    var nIn = 0; var nWraps = 0; var nShorts = 0; var nOut = 0
+    if (lines.nonEmpty) {
+      val (wordString, in, wraps, shorts, out) =
+        TextRules.textlinesToData(lines, cfg.denseMinLen)
+      if (wordString.nonEmpty) {
+        nIn = in; nWraps = wraps; nShorts = shorts; nOut = out
+        nWords = TextRules.splitWs(wordString).length
+        val (r, e) = TextRules.hitRatio(nWords, TextRules.countErrors(wordString))
+        ratio = r; nErrs = e
+      }
+    }
+
+    // 5. materialize output struct
+    val outSpans = new Array[Any](m)
+    var o = 0
+    while (o < m) {
+      val k = sorted(o)
+      outSpans(o) = new GenericInternalRow(Array[Any](
+        kinds(k), UTF8String.fromString(texts(k)), refs(k), offsets(k)))
+      o += 1
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(outSpans), ratio, nWords, nErrs, nIn, nWraps, nShorts, nOut))
+  }
+}
+
+object ProcessSpans {
+  private val TextKind = UTF8String.fromString("text")
+  def isTextKind(k: UTF8String): Boolean = TextKind.equals(k)
+
+  val spanType: StructType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("text", StringType),
+    StructField("media_ref", StringType),
+    StructField("offset", IntegerType)))
+
+  val outputType: StructType = StructType(Seq(
+    StructField("spans", ArrayType(spanType)),
+    StructField("hit_ratio", DoubleType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_errs", IntegerType, nullable = false),
+    StructField("n_lines_in", IntegerType, nullable = false),
+    StructField("n_wraps", IntegerType, nullable = false),
+    StructField("n_shorts", IntegerType, nullable = false),
+    StructField("n_lines_out", IntegerType, nullable = false)))
+
+  /** Column-level entry point. */
+  def process(spans: Column, cfg: ProcessConfig): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(ProcessSpans(Bridge.expression(spans), cfg))
+  }
+}

@@ -126,8 +126,35 @@ object Extraction {
   }
 
   /** Full pipeline over a span table. Input: DataFrame with columns
-    * (doc_id, spans). Output: Dataset[ProcessedDoc]. */
+    * (doc_id, spans). Output: Dataset[ProcessedDoc].
+    *
+    * Hot path: ONE custom Catalyst expression ([[graft.sql.ProcessSpans]])
+    * does the whole per-doc chain over raw ArrayData — no interpreted
+    * HOF chain, no encoder round-trip. Falls back to the HOF + typed
+    * path only for RTL-reorder configs. */
   def pipeline(docs: DataFrame, cfg: ExtractConfig = ExtractConfig()): Dataset[ProcessedDoc] = {
+    if (cfg.reorderRtl) return pipelineHof(docs, cfg)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pcfg = graft.sql.ProcessConfig(
+      cfg.replaceDict,
+      cfg.regexRule.map(r => (r.pattern, r.old, r.nw)),
+      cfg.minLineLen, cfg.denseMinLen)
+    docs
+      .select(col("doc_id"),
+        graft.sql.ProcessSpans.process(col("spans"), pcfg).as("p"))
+      .select(col("doc_id"), col("p.spans").as("spans"),
+        concat(lit(cfg.pagePrefix), col("doc_id")).as("page_id"),
+        col("p.hit_ratio"), col("p.n_words"), col("p.n_errs"),
+        col("p.n_lines_in"), col("p.n_wraps"), col("p.n_shorts"),
+        col("p.n_lines_out"))
+      .as[ProcessedDoc]
+  }
+
+  /** Reference composition of built-in HOF stages + typed estimate map
+    * — semantically identical to [[pipeline]]; kept as the
+    * cross-validation twin and for RTL configs. */
+  def pipelineHof(docs: DataFrame, cfg: ExtractConfig = ExtractConfig()): Dataset[ProcessedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val cleaned = docs.select(

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.stages.{ExtractConfig, Extraction}
+
+/** Physical-plan guards — the 100 TB story in executable form.
+  * These assertions fail if someone reintroduces a shuffle into the
+  * narrow extraction path or breaks scan pushdown.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("extraction pipeline is shuffle-free (no Exchange in the plan)") {
+    import spark.implicits._
+    val docs = graft.gen.CorpusGen.docs(spark, 100, "interleaved").toDF()
+    val plan = executedPlan(Extraction.pipeline(docs, ExtractConfig()).toDF())
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("filter and projection push down to the parquet scan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    spark.range(1000)
+      .select($"id", ($"id" * 2).as("v"), lit("x").as("s"))
+      .write.mode("overwrite").parquet(tmp)
+    val q = spark.read.parquet(tmp).filter($"id" > 500).select($"id")
+    val plan = executedPlan(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,500)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint>"),
+      s"projection not pruned:\n$plan")
+  }
+
+  test("small dimension joins broadcast (no shuffle join for q03/q11)") {
+    val plan = executedPlan(
+      graft.queries.Queries.all.find(_.name == "q03_join_broadcast").get
+        .fn(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("whole-stage codegen wraps the relational aggregate (q01)") {
+    val df = graft.queries.Queries.all.find(_.name == "q01_agg").get
+      .fn(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize the AQE plan so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd operators carry the `*(id)` marker in the final plan
+    assert(plan.contains("*("), s"no codegen spans:\n$plan")
+    // map-side combine: a partial aggregate runs before the exchange
+    assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
+  }
+}

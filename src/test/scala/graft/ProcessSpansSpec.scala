@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.model.Doc
+import graft.parse.OcrXmlParser
+import graft.stages.{ExtractConfig, Extraction, RegexRule}
+
+/** The custom-Expression hot path must be row-for-row identical to the
+  * HOF + typed reference composition — on the real fixtures and on all
+  * generator profiles (including edge cases). */
+class ProcessSpansSpec extends SparkSpecBase {
+
+  private def equivalent(docs: Seq[Doc], cfg: ExtractConfig): Unit = {
+    import spark.implicits._
+    val df = docs.toDF()
+    val fast = Extraction.pipeline(df, cfg).collect()
+      .map(p => p.doc_id -> p).toMap
+    val ref = Extraction.pipelineHof(df, cfg).collect()
+    assert(ref.length == fast.size)
+    ref.foreach { r =>
+      val f = fast(r.doc_id)
+      assert(f.spans == r.spans, s"spans of ${r.doc_id}")
+      assert((f.hit_ratio, f.n_words, f.n_errs, f.n_lines_in, f.n_wraps,
+        f.n_shorts, f.n_lines_out) ==
+        ((r.hit_ratio, r.n_words, r.n_errs, r.n_lines_in, r.n_wraps,
+          r.n_shorts, r.n_lines_out)), s"estimation of ${r.doc_id}")
+      assert(f.page_id == r.page_id)
+    }
+  }
+
+  test("expression path == HOF path on generated profiles") {
+    val docs = (0L until 120L).map { i =>
+      val profile = Seq("uniform", "interleaved", "skewed", "edge")((i % 4).toInt)
+      graft.gen.CorpusGen.genDoc(i, profile, 7L, 2000)
+    }
+    equivalent(docs, ExtractConfig())
+    equivalent(docs, ExtractConfig(
+      regexRule = Some(RegexRule("([aeioubcglnt]3[:-]*\")", "3", "s")),
+      pagePrefix = ""))
+  }
+
+  test("expression path == HOF path on reference fixtures") {
+    val resDir = Paths.get("/root/reference/tests/resources")
+    assume(Files.isReadable(resDir.resolve("500_gray00003.xml")))
+    val parser = new OcrXmlParser
+    val docs = Seq("500_gray00003.xml", "16331001.xml", "16331011.xml",
+      "0041.xml", "1667524704_J_0173_0173.xml").map { name =>
+      val xml = new String(Files.readAllBytes(resDir.resolve(name)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      Doc(name.stripSuffix(".xml"),
+        OcrXmlParser.toSpans(name.stripSuffix(".xml"), parser.parse(xml)))
+    }
+    equivalent(docs, ExtractConfig(replaceDict = graft.text.TextRules.FixtureReplaceDict))
+  }
+}
