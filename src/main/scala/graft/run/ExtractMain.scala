@@ -51,22 +51,20 @@ object ExtractMain {
 
     todo.foreach { p =>
       val slice = docs.filter($"part" === p).drop("part")
-      val processed = Extraction.pipeline(slice, cfg)
-      // one pass: write data, then commit lineage counts
-      processed.write.mode(SaveMode.Overwrite).parquet(ckpt.dataPath(p))
-      val stats = spark.read.parquet(ckpt.dataPath(p))
-        .agg(count(lit(1)), coalesce(sum(size($"spans")), lit(0L)),
-          count(when($"hit_ratio" === -1.0, 1)))
-        .head()
-      ckpt.commit(p, stats.getLong(0), stats.getLong(1), stats.getLong(2))
-      println(s"[extract] committed part=$p docs=${stats.getLong(0)} spans=${stats.getLong(1)}")
+      // single pass: observe() collects lineage metrics during the write
+      val (out, obs) = Extraction.observed(Extraction.pipeline(slice, cfg))
+      out.write.mode(SaveMode.Overwrite).parquet(ckpt.dataPath(p))
+      val m = obs.get
+      val (nDocs, nSpans, nUnest) = (m("docs_parsed").asInstanceOf[Long],
+        m("spans_emitted").asInstanceOf[Long], m("docs_unestimated").asInstanceOf[Long])
+      ckpt.commit(p, nDocs, nSpans, nUnest)
+      println(s"[extract] committed part=$p docs=$nDocs spans=$nSpans unestimated=$nUnest")
     }
 
-    // corpus report over all committed data (ocr_pipeline.py:233-269)
+    // corpus report over all committed data (ocr_pipeline.py:233-269):
+    // summary (mean + bins + totals) and ratio-sorted detail (S11 .wtr)
     val all = spark.read.parquet(s"$outRoot/data/p_*").as[graft.stages.ProcessedDoc]
-    val rep = Extraction.report(all)
-    val repDf = Seq(rep).toDF()
-    repDf.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outRoot/report")
+    val rep = Extraction.writeReport(all, s"$outRoot/report")
     println(s"[extract] report: mean=${rep.mean} bins=[${rep.b1},${rep.b2},${rep.b3},${rep.b4},${rep.b5}] " +
       s"total=${rep.n_total} invalid=${rep.n_invalid}")
     ckpt.lineage().show(truncate = false)

@@ -165,6 +165,38 @@ object Extraction {
     }
   }
 
+  /** Attach observability metrics (E4 / north_rule "accumulator
+    * metrics": docs parsed, spans emitted, parse failures) to a
+    * processed stream without a second pass — read them from the
+    * returned Observation after the action. */
+  def observed(processed: Dataset[ProcessedDoc], name: String = "graft_metrics")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val df = processed.toDF().observe(obs,
+      count(lit(1)).as("docs_parsed"),
+      coalesce(sum(size(col("spans"))), lit(0L)).as("spans_emitted"),
+      count(when(col("hit_ratio") === Estimation.MissingRatio, 1)).as("docs_unestimated"))
+    (df, obs)
+  }
+
+  /** S11 — estimation report sink, the `.wtr` analog
+    * (ocr_pipeline.py:233-269): one header row (mean + five bins +
+    * totals) plus the per-doc detail sorted ascending by ratio. */
+  def writeReport(processed: Dataset[ProcessedDoc], outDir: String): EstimationReport = {
+    val spark = processed.sparkSession
+    import spark.implicits._
+    val rep = report(processed)
+    Seq(rep).toDS().coalesce(1).write.mode("overwrite").parquet(s"$outDir/summary")
+    processed
+      .filter($"hit_ratio" =!= Estimation.MissingRatio)
+      .select($"doc_id", $"hit_ratio", $"n_words", $"n_errs",
+        $"n_lines_in", $"n_wraps", $"n_shorts", $"n_lines_out")
+      .orderBy($"hit_ratio", $"doc_id")
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(s"$outDir/detail")
+    rep
+  }
+
   /** Corpus-level estimation report (ocr_pipeline.py:233-269 +
     * StepEstimateOCR.analyze lib/ocr_step.py:426-446): mean of valid
     * hit ratios (Python-rounded), five 15-point bins, valid/invalid
