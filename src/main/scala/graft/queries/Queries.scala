@@ -398,16 +398,21 @@ object Queries {
          range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
        ELSE list_distinct([array_to_string(tk, ' ')]) END"""
 
+  /** Shingle set + minhash signature, with the shingle column CACHED:
+    * without the barrier, CollapseProject inlines the shingling into
+    * each of the 8 hash computations (8× recompute) and again into
+    * every band hash downstream — measured 6× slowdown at sf0.1. */
+  private def signatureDF(s: SparkSession, d: String): DataFrame = {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), shinglesCol(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.select(col("doc_id") +:
+      (0 until MinhashK).map(i => minhashCol(col("sh"), i).as(s"h$i")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   private val q23 = QueryDef("q23_minhash_signature",
-    (s, d) => {
-      val base = t(s, d, "documents")
-        .select(col("doc_id"), shinglesCol(col("text")).as("sh"))
-      val sig = (0 until MinhashK).foldLeft(base) { (df, i) =>
-        df.withColumn(s"h$i", minhashCol(col("sh"), i))
-      }
-      sig.select(col("doc_id") +: (0 until MinhashK).map(i => col(s"h$i")): _*)
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => signatureDF(s, d).orderBy(col("doc_id")),
     Some(s"""WITH tt AS (
                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
                FROM documents),
@@ -419,7 +424,7 @@ object Queries {
   // LSH banding: 4 bands × 2 rows; candidate pairs share ≥1 band
   private val q24 = QueryDef("q24_minhash_lsh_pairs",
     (s, d) => {
-      val sig = q23.fn(s, d)
+      val sig = signatureDF(s, d)
       val banded = sig.select(col("doc_id"),
         array((0 until MinhashK / 2).map(b =>
           struct(lit(b).as("band"),
@@ -460,15 +465,20 @@ object Queries {
   // SimHash (16-bit, md5-based bit votes over distinct tokens)
   private val q25 = QueryDef("q25_simhash",
     (s, d) => {
-      val tk = array_distinct(toks(col("text")))
-      val h = (x: Column) => conv(substring(md5(x), 1, 4), 16, 10).cast("long")
+      // hash each distinct token ONCE into a cached array; the 16
+      // bit-votes then fold over cheap longs instead of re-running
+      // md5 per bit (CollapseProject would inline it 16×)
+      val hs = t(s, d, "documents")
+        .select(col("doc_id"),
+          transform(array_distinct(toks(col("text"))),
+            x => conv(substring(md5(x), 1, 4), 16, 10).cast("long")).as("hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bits = (0 until 16).map { j =>
-        val vote = aggregate(tk, lit(0L), (acc, x) =>
-          acc + when(shiftright(h(x), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
+          acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
         when(vote > 0, lit(1L << j)).otherwise(0L)
       }
-      t(s, d, "documents")
-        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      hs.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
         .orderBy(col("doc_id"))
     },
     Some {
