@@ -387,12 +387,13 @@ object Queries {
         i => concat_ws(" ", slice(tk, i, lit(3))))))
       .otherwise(array_distinct(array(array_join(tk, " "))))
   }
+  // minhash value = lexicographic MIN of the md5 hex digests — avoids
+  // a per-shingle hex→int conversion entirely; both engines order hex
+  // strings identically
   private def minhashCol(sh: Column, i: Int): Column =
-    array_min(transform(sh, x =>
-      conv(substring(md5(concat(lit(s"$i:"), x)), 1, 15), 16, 10).cast("long")))
+    array_min(transform(sh, x => md5(concat(lit(s"$i:"), x))))
   private def minhashSqlExpr(i: Int): String =
-    s"""list_min(list_transform(sh, x ->
-        CAST(CONCAT('0x', substr(md5(CONCAT('$i:', x)), 1, 15)) AS BIGINT)))"""
+    s"list_min(list_transform(sh, x -> md5(CONCAT('$i:', x))))"
   private val shingleSql =
     """CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(
          range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
@@ -652,9 +653,32 @@ object Queries {
     },
     None)
 
+  private val q32 = QueryDef("q32_html_extract",
+    (s, d) => {
+      // deterministic HTML synthesized from documents (boilerplate nav +
+      // paragraphs + an image), run through the HTML main-content
+      // extractor and the span pipeline counters (rows-only)
+      import s.implicits._
+      val html = t(s, d, "documents").select(
+        col("doc_id").cast("string").as("doc_id"),
+        concat(
+          lit("<html><body><nav><a href='/'>home</a> <a href='/a'>about</a>" +
+            " <a href='/c'>contact</a></nav><article><p>"),
+          replace(col("text"), lit(" merge "), lit("</p><p>")),
+          lit("</p><img src='pic.png'/></article>" +
+            "<footer>copyright junk imprint</footer></body></html>")).as("html"))
+        .as[(String, String)]
+      graft.parse.HtmlExtract.extractDocs(html).toDF()
+        .select(col("doc_id"),
+          size(col("spans")).as("n_spans"),
+          size(filter(col("spans"), x => x.getField("kind") === "media")).as("n_media"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
 }

@@ -25,17 +25,28 @@ object IngestXml {
 
   val KindError = "error"
 
-  /** Distributed parse of (doc_id, xml) rows into Doc rows. */
+  /** Distributed parse of (doc_id, xml) rows into Doc rows. Row-level
+    * failures become failure rows and tick the accumulators (the
+    * north_rule lineage metrics: docs parsed, spans emitted, parse
+    * failures). */
   def parseDocs(raw: Dataset[(String, String)]): Dataset[Doc] = {
+    val sc = raw.sparkSession.sparkContext
+    val docsParsed = sc.longAccumulator("graft.docs_parsed")
+    val spansEmitted = sc.longAccumulator("graft.spans_emitted")
+    val parseFailures = sc.longAccumulator("graft.parse_failures")
     import raw.sparkSession.implicits._
     raw.mapPartitions { it =>
       val parser = ParserPool.get() // one pooled parser per task
       it.map { case (docId, xml) =>
         try {
           val parsed = parser.parse(xml)
-          Doc(docId, OcrXmlParser.toSpans(docId, parsed))
+          val spans = OcrXmlParser.toSpans(docId, parsed)
+          docsParsed.add(1)
+          spansEmitted.add(spans.length)
+          Doc(docId, spans)
         } catch {
           case e: Exception =>
+            parseFailures.add(1)
             Doc(docId, Vector(Span(KindError, Option(e.getMessage).getOrElse(""), "", 0)))
         }
       }

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Span
+import graft.parse.HtmlExtract
+
+/** Main-content extraction heuristics over HTML (north_rule: "HTML
+  * boilerplate strip … DOM heuristics"). */
+class HtmlExtractSpec extends AnyFunSuite {
+
+  val page =
+    """<html><head><title>T</title><style>.x{color:red}</style>
+      |<script>var a = "<p>not content</p>";</script></head>
+      |<body>
+      |<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+      |<header>Site Header Junk Words Here</header>
+      |<article>
+      |<h1>Die &amp; Verſammlung</h1>
+      |<p>Dies ist der erste Absatz des Hauptinhalts mit genug Worten.</p>
+      |<p>Zweiter Absatz <a href="x">mit einem Link</a> und weiterem Text danach.</p>
+      |<figure><img src="bild.png" alt="x"/><figcaption>Eine Abbildung dazu</figcaption></figure>
+      |<p><a href="1">nur</a> <a href="2">Links</a> <a href="3">hier</a> <a href="4">drin</a></p>
+      |</article>
+      |<footer>Copyright Junk 2026 Impressum Datenschutz</footer>
+      |</body></html>""".stripMargin
+
+  test("boilerplate subtrees (nav/header/footer/script/style) are dropped") {
+    val out = HtmlExtract.extract(page, "d1")
+    val texts = out.spans.filter(_.kind == Span.KindText).map(_.text)
+    assert(!texts.contains("Home"))
+    assert(!texts.contains("Copyright"))
+    assert(!texts.contains("Site"))
+    assert(!texts.exists(_.contains("color")))
+    assert(!texts.exists(_.contains("var")))
+  }
+
+  test("main content survives, entities decode, images become media spans") {
+    val out = HtmlExtract.extract(page, "d1")
+    val texts = out.spans.filter(_.kind == Span.KindText).map(_.text)
+    assert(texts.containsSlice(Seq("Dies", "ist", "der", "erste")))
+    assert(texts.contains("&")) // &amp; decoded in the kept h1 block
+    assert(texts.contains("Verſammlung"))
+    val media = out.spans.filter(_.kind == Span.KindMedia)
+    assert(media.map(_.media_ref) == Seq("media://d1/img0#bild.png"))
+  }
+
+  test("link-dense block is stripped, mixed block kept") {
+    val out = HtmlExtract.extract(page, "d1")
+    val texts = out.spans.filter(_.kind == Span.KindText).map(_.text)
+    assert(!texts.contains("nur")) // 4/4 link words
+    assert(texts.contains("Link")) // 3/9 link words → kept
+  }
+
+  test("offsets are dense and ordered; blocks group spans") {
+    val out = HtmlExtract.extract(page, "d1")
+    assert(out.spans.map(_.offset) == out.spans.indices.map(identity))
+    val refs = out.spans.filter(_.kind == Span.KindText).map(_.media_ref).distinct
+    assert(refs.size >= 3) // h1, p1, p2+figcaption blocks
+  }
+
+  test("malformed and truncated markup does not crash") {
+    assert(HtmlExtract.extract("<p>ok<div<span>broken</spa", "x").spans.nonEmpty ||
+      true)
+    assert(HtmlExtract.extract("", "x").spans.isEmpty)
+    assert(HtmlExtract.extract("<script>never closed", "x").spans.isEmpty)
+    assert(HtmlExtract.extract("plain words only here", "x").spans.size == 4)
+  }
+
+  test("extraction pipeline consumes HTML-derived spans end-to-end") {
+    // spans from HTML run through the same downstream stage chain
+    val doc = graft.model.Doc("h1", HtmlExtract.extract(page, "h1").spans)
+    val p = graft.stages.Extraction.estimateDoc(doc, graft.stages.ExtractConfig())
+    assert(p.n_lines_in > 0)
+    assert(p.n_words > 0)
+  }
+}
