@@ -31,6 +31,8 @@ final case class ProcessedDoc(
     doc_id: String,
     spans: Seq[Span],
     page_id: String,
+    file_identifier: String,
+    file_name: String,
     hit_ratio: Double,
     n_words: Int,
     n_errs: Int,
@@ -121,8 +123,11 @@ object Extraction {
         ratio = r; nErrs = e
       }
     }
-    ProcessedDoc(doc.doc_id, doc.spans, cfg.pagePrefix + doc.doc_id,
-      ratio, nWords, nErrs, nIn, nWraps, nShorts, nOut)
+    // X4 metadata enrichment (lib/ocr_step.py:539-549): identifier =
+    // id up to the first dot (split_path semantics), name = full id
+    val fileId = doc.doc_id.split("\\.")(0)
+    ProcessedDoc(doc.doc_id, doc.spans, cfg.pagePrefix + fileId,
+      fileId, doc.doc_id, ratio, nWords, nErrs, nIn, nWraps, nShorts, nOut)
   }
 
   /** Full pipeline over a span table. Input: DataFrame with columns
@@ -144,7 +149,9 @@ object Extraction {
       .select(col("doc_id"),
         graft.sql.ProcessSpans.process(col("spans"), pcfg).as("p"))
       .select(col("doc_id"), col("p.spans").as("spans"),
-        concat(lit(cfg.pagePrefix), col("doc_id")).as("page_id"),
+        concat(lit(cfg.pagePrefix), substring_index(col("doc_id"), ".", 1)).as("page_id"),
+        substring_index(col("doc_id"), ".", 1).as("file_identifier"),
+        col("doc_id").as("file_name"),
         col("p.hit_ratio"), col("p.n_words"), col("p.n_errs"),
         col("p.n_lines_in"), col("p.n_wraps"), col("p.n_shorts"),
         col("p.n_lines_out"))

@@ -137,7 +137,7 @@ class PipelineSpec extends SparkSpecBase {
     val ratios = Seq(14.123, 18.123, 28.123, 38.123, 40.123,
       41.123, 51.123, 60.123, 68.123, 68.123, -1.0)
     val ds = ratios.zipWithIndex.map { case (r, i) =>
-      ProcessedDoc(s"d$i", Nil, s"pd$i", r, 0, 0, 0, 0, 0, 0)
+      ProcessedDoc(s"d$i", Nil, s"pd$i", s"d$i", s"d$i", r, 0, 0, 0, 0, 0, 0)
     }.toDS()
     val rep = Extraction.report(ds)
     assert(rep.mean == 42.723)

@@ -25,7 +25,7 @@ class ProcessSpansSpec extends SparkSpecBase {
         f.n_shorts, f.n_lines_out) ==
         ((r.hit_ratio, r.n_words, r.n_errs, r.n_lines_in, r.n_wraps,
           r.n_shorts, r.n_lines_out)), s"estimation of ${r.doc_id}")
-      assert(f.page_id == r.page_id)
+      assert((f.page_id, f.file_identifier, f.file_name) == ((r.page_id, r.file_identifier, r.file_name)))
     }
   }
 
