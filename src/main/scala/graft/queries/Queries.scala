@@ -676,9 +676,120 @@ object Queries {
     },
     None)
 
+  // embedding-cosine near-dup pairs within a label block (exact,
+  // oracle-checked; the LSH-bucketed scale path is q31/q34)
+  private val q33 = QueryDef("q33_embed_neardup",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      val a = emb.select(col("vec_id").as("v1"), col("label"), col("e").as("e1"))
+      val b = emb.select(col("vec_id").as("v2"), col("label"), col("e").as("e2"))
+      a.join(b, Seq("label")).filter(col("v1") < col("v2"))
+        .withColumn("cos", cosineCol(col("e1"), col("e2")))
+        .filter(col("cos") >= 0.3)
+        .select(col("v1"), col("v2"), col("label"),
+          (round(col("cos"), 3) + lit(0.0)).as("cos_r"))
+        .orderBy(col("v1"), col("v2"))
+    },
+    Some("""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+              round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) /
+                (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                    CAST(a.embedding AS DOUBLE[]))) *
+                 sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])))), 3) + 0.0 AS cos_r
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) /
+                (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                    CAST(a.embedding AS DOUBLE[]))) *
+                 sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])))) >= 0.3
+            ORDER BY v1, v2"""))
+
+  // ANN query through the hyperplane-LSH buckets: query vector's
+  // bucket → candidates → exact cosine top-5 (approximate by design →
+  // rows-only)
+  private val q34 = QueryDef("q34_ann_query",
+    (s, d) => {
+      val dims = 64; val nPlanes = 12
+      val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+        (0 until dims).map { i =>
+          graft.gen.CorpusGen.mix64(p.toLong * 1024 + i).toDouble / Long.MaxValue.toDouble
+        }
+      }
+      def bucketOf(e: Column): Column =
+        (0 until nPlanes).map { p =>
+          val dot = aggregate(zip_with(e, typedLit(planes(p)), (x, y) => x * y),
+            lit(0.0), _ + _)
+          when(dot > 0, lit(1L << p)).otherwise(0L)
+        }.reduce(_ + _)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("bucket", bucketOf(col("e")))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("bucket"), col("e").as("qe"))
+      emb.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos", round(cosineCol(col("e"), col("qe")), 3))
+        .orderBy(desc("cos"), col("vec_id"))
+        .select(col("vec_id"), col("cos"))
+        .limit(5)
+    },
+    None)
+
+  // multimodal: media refs → synthetic binary payloads → pooled stub
+  // decode → typed metadata aggregation (rows-only; decode is stubbed)
+  private val q35 = QueryDef("q35_media_decode",
+    (s, d) => {
+      val refs = t(s, d, "documents")
+        .select(concat(lit("media://doc"), col("doc_id"), lit("/0")).as("media_ref"))
+      val meta = graft.multimodal.Media.decodeMeta(
+        graft.multimodal.Media.synthMedia(s, refs))
+      meta.toDF()
+        .groupBy(col("mime"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("width")), 1).as("avg_w"),
+          sum(col("n_frames")).as("total_frames"))
+        .orderBy(col("mime"))
+    },
+    None)
+
+  // winnowing rolling-hash fingerprints (Schleimer et al.): shared-
+  // fingerprint near-dup candidates (rows-only: engine-defined hash)
+  private val q36 = QueryDef("q36_winnow_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      val fps = t(s, d, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, graft.text.Winnow.fingerprints(text, 5, 4))
+        })
+        .toDF("doc_id", "fps")
+      fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        // stop-fingerprint cap: a fingerprint shared by hundreds of
+        // docs carries no near-dup signal and would blow up the pair
+        // generation quadratically — drop it (standard LSH hygiene)
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= 16)
+        .select(explode(flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+            struct(a.as("d1"), b.as("d2")))))).as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 5)
+        .orderBy(desc("shared_fps"), col("d1"), col("d2"))
+        .limit(200)
+    },
+    None)
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q32, q33, q34, q35, q36)
 }
