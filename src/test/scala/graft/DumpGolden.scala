@@ -18,7 +18,9 @@ import graft.text.TextRules
 object DumpGolden {
 
   val fixtures = Seq("500_gray00003", "16331011", "16331001", "ram110",
-    "OCR-RESULT_0001")
+    "OCR-RESULT_0001", "288652", "Lubab_alAlbab.pdf_000003",
+    "1667522809_J_0073_0512", "urn+nbn+de+gbv+3+1-121915-p0159-6_ger",
+    "1667524704_J_0173_0173", "0041", "1123596")
 
   def goldenFor(doc: Doc): Seq[Span] = {
     val dict = TextRules.FixtureReplaceDict
