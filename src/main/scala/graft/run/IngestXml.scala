@@ -68,7 +68,11 @@ object IngestXml {
 
     val raw = spark.read
       .option("wholetext", "true")
-      .text(s"$inDir/*.xml")
+      // S2: recursive subtree scan (ocr_pipeline.py:312-319); the
+      // marker gate maps to Checkpoint partition pruning downstream
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.xml")
+      .text(inDir)
       .select(
         org.apache.spark.sql.functions.regexp_extract(
           org.apache.spark.sql.functions.input_file_name(), "([^/]+)\\.xml$", 1)

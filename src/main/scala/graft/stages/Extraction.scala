@@ -198,8 +198,9 @@ object Extraction {
       .filter($"hit_ratio" =!= Estimation.MissingRatio)
       .select($"doc_id", $"hit_ratio", $"n_words", $"n_errs",
         $"n_lines_in", $"n_wraps", $"n_shorts", $"n_lines_out")
+      // global sort → range-partitioned ordered files; no coalesce(1):
+      // the detail is O(#docs) and must stay distributed at corpus scale
       .orderBy($"hit_ratio", $"doc_id")
-      .coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(s"$outDir/detail")
     rep
   }
