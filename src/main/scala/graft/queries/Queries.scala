@@ -497,13 +497,11 @@ object Queries {
   // Similarity search over `embeddings`
   // ===================================================================
 
-  /** Cosine similarity of two double arrays via zip_with + aggregate. */
-  private def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
-    dot / (na * nb)
-  }
+  /** Cosine similarity: the codegen'd custom expression (one fused
+    * loop; see [[graft.sql.CosineSim]]). Mathematically identical to
+    * the zip_with+aggregate HOF chain it replaced. */
+  private def cosineCol(a: Column, b: Column): Column =
+    graft.sql.CosineSim(a, b)
 
   private val q26 = QueryDef("q26_cosine_vs_query",
     (s, d) => {
