@@ -14,6 +14,27 @@ class SessionizeSpec extends SparkSpecBase {
 
   private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
 
+  test("qualityByWindow aggregates hit ratios in event-time windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val df = input.toDS().toDF("ts", "hit_ratio")
+    val q = graft.streaming.StreamExtract.qualityByWindow(df, "ts")
+      .writeStream.format("memory").queryName("qw")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData((ts(1), 80.0), (ts(5), 90.0), (ts(12), 60.0))
+      q.processAllAvailable()
+      val rows = spark.table("qw")
+        .selectExpr("window.start", "mean_ratio", "n_docs")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(rows.map(r => (r._1, r._2, r._3)).toSeq ==
+        Seq((0L, 85.0, 2L), (10L, 60.0, 1L)))
+    } finally q.stop()
+  }
+
   test("session state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
