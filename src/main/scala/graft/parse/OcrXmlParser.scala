@@ -46,10 +46,11 @@ final case class RawLine(
     lineCenterX: Option[Double],
     lineCenterY: Option[Double],
     hasShape: Boolean,
-    hasLineUnicode: Boolean = true)
+    hasLineUnicode: Boolean = true,
+    seq: Int = 0) // document-order event index (interleaving with media)
 
 /** One parsed non-text region (ALTO `Illustration`/`GraphicalElement`). */
-final case class RawMedia(id: String, kind: String)
+final case class RawMedia(id: String, kind: String, seq: Int = 0)
 
 /** Structured parse result of one OCR document. */
 final case class ParsedDoc(dialect: String, lines: Vector[RawLine], media: Vector[RawMedia])
@@ -89,6 +90,8 @@ final class OcrXmlParser {
     val media = Vector.newBuilder[RawMedia]
 
     // per-line state
+    var eventSeq = 0 // document-order counter for line/media interleaving
+    var lineSeq = 0
     var inLine = false
     var lineId: String = ""
     var lineBlock: String = ""
@@ -134,6 +137,7 @@ final class OcrXmlParser {
               blockStack = Option(attr("ID")).orElse(Option(attr("id"))).getOrElse("") :: blockStack
             case "TextLine" =>
               inLine = true
+              lineSeq = eventSeq; eventSeq += 1
               lineId = Option(attr("ID")).orElse(Option(attr("id"))).getOrElse("")
               lineBlock = blockStack.headOption.getOrElse("")
               lineWords = Vector.newBuilder[RawWord]
@@ -165,9 +169,11 @@ final class OcrXmlParser {
               else if (lineCenter.isEmpty) lineCenter = center
               if (center.isDefined && !inWord) lineHasShape = true
             case "Illustration" =>
-              media += RawMedia(Option(attr("ID")).getOrElse(""), "Illustration")
+              media += RawMedia(Option(attr("ID")).getOrElse(""), "Illustration", eventSeq)
+              eventSeq += 1
             case "GraphicalElement" =>
-              media += RawMedia(Option(attr("ID")).getOrElse(""), "GraphicalElement")
+              media += RawMedia(Option(attr("ID")).getOrElse(""), "GraphicalElement", eventSeq)
+              eventSeq += 1
             case _ =>
           }
 
@@ -197,7 +203,7 @@ final class OcrXmlParser {
               inLine = false
               lines += RawLine(lineId, lineBlock, lineWords.result(), lineText,
                 lineCenter.map(_._1), lineCenter.map(_._2), lineHasShape,
-                lineUnicodeSeen)
+                lineUnicodeSeen, lineSeq)
             case "TextBlock" | "TextRegion" | "ComposedBlock" =>
               if (blockStack.nonEmpty) blockStack = blockStack.tail
             case _ =>
@@ -316,7 +322,7 @@ object OcrXmlParser {
   def toSpans(docId: String, doc: ParsedDoc): Vector[Span] = {
     val out = Vector.newBuilder[Span]
     var off = 0
-    doc.lines.foreach { l =>
+    def emitLine(l: RawLine): Unit = {
       val ref = Span.LineRefPrefix + l.blockId + "/" + l.id
       if (l.words.nonEmpty) {
         l.words.foreach { w =>
@@ -330,9 +336,20 @@ object OcrXmlParser {
         off += 1
       }
     }
-    doc.media.foreach { m =>
-      out += Span.media(s"media://$docId/${m.id}", off)
+    def emitMedia(m: RawMedia): Unit = {
+      // placeholder resolution is idempotent: an ID that is already a
+      // full ref is kept verbatim (round-trips through AltoWriter)
+      val ref = if (m.id.startsWith("media://")) m.id else s"media://$docId/${m.id}"
+      out += Span.media(ref, off)
       off += 1
+    }
+    // interleave lines and media in document order (event seq)
+    var li = 0; var mi = 0
+    val ls = doc.lines; val ms = doc.media
+    while (li < ls.length || mi < ms.length) {
+      if (mi >= ms.length || (li < ls.length && ls(li).seq <= ms(mi).seq)) {
+        emitLine(ls(li)); li += 1
+      } else { emitMedia(ms(mi)); mi += 1 }
     }
     out.result()
   }

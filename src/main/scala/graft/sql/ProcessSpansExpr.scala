@@ -58,6 +58,7 @@ case class ProcessSpans(child: Expression, cfg: ProcessConfig)
     //    dropping blanks (F6) — one pass
     val kinds = new Array[UTF8String](n)
     val texts = new Array[String](n)
+    val rawTexts = new Array[UTF8String](n) // non-null ⇢ text unmodified
     val refs = new Array[UTF8String](n)
     val offsets = new Array[Int](n)
     var m = 0
@@ -67,7 +68,9 @@ case class ProcessSpans(child: Expression, cfg: ProcessConfig)
       if (row != null) {
         val kind = row.getUTF8String(0)
         val isText = kind != null && ProcessSpans.isTextKind(kind)
-        var text = if (row.isNullAt(1)) "" else row.getUTF8String(1).toString
+        val raw = if (row.isNullAt(1)) null else row.getUTF8String(1)
+        var text = if (raw == null) "" else raw.toString
+        val before = text
         if (isText) {
           var di = 0
           while (di < cfg.replaceDict.length) {
@@ -84,6 +87,7 @@ case class ProcessSpans(child: Expression, cfg: ProcessConfig)
         if (keep) {
           kinds(m) = kind
           texts(m) = text
+          rawTexts(m) = if (raw != null && (text eq before)) raw else null
           refs(m) = if (row.isNullAt(2)) null else row.getUTF8String(2)
           offsets(m) = if (row.isNullAt(3)) 0 else row.getInt(3)
           m += 1
@@ -92,8 +96,18 @@ case class ProcessSpans(child: Expression, cfg: ProcessConfig)
       i += 1
     }
 
-    // 2. stable sort by offset (S8)
-    val sorted = Array.tabulate(m)(identity).sortBy(i => offsets(i)) // stable
+    // 2. stable sort by offset (S8): pack (offset, index) into one
+    // long so a primitive Arrays.sort is stable and allocation-free
+    val packed = new Array[Long](m)
+    var pi = 0
+    while (pi < m) {
+      packed(pi) = ((offsets(pi).toLong + Int.MaxValue + 1L) << 32) | pi.toLong
+      pi += 1
+    }
+    java.util.Arrays.sort(packed)
+    val sorted = new Array[Int](m)
+    pi = 0
+    while (pi < m) { sorted(pi) = (packed(pi) & 0xFFFFFFFFL).toInt; pi += 1 }
 
     // 3. line model: group consecutive text spans by parent ref
     // (same consecutive-key semantics as Extraction.toLines, null-safe)
@@ -146,8 +160,10 @@ case class ProcessSpans(child: Expression, cfg: ProcessConfig)
     var o = 0
     while (o < m) {
       val k = sorted(o)
+      val outText = // reuse the input buffer when the text is unmodified
+        if (rawTexts(k) != null) rawTexts(k) else UTF8String.fromString(texts(k))
       outSpans(o) = new GenericInternalRow(Array[Any](
-        kinds(k), UTF8String.fromString(texts(k)), refs(k), offsets(k)))
+        kinds(k), outText, refs(k), offsets(k)))
       o += 1
     }
     new GenericInternalRow(Array[Any](
