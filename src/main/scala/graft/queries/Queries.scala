@@ -784,10 +784,59 @@ object Queries {
     },
     None)
 
+  // BPE-ish pretokenization (GPT-2-style regex) token counting — the
+  // second tokenizer flavor next to whitespace counting (q16)
+  private val BpePattern =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"""
+  private val q37 = QueryDef("q37_bpe_token_count",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe"),
+        size(toks(col("text"))).as("n_ws"))
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+              len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}')) AS n_bpe,
+              len(string_split_regex(trim(text), '\\s+')) AS n_ws
+            FROM documents ORDER BY doc_id"""))
+
+  // IVF approximate nearest neighbor: MLlib k-means coarse quantizer,
+  // probe the query's nearest 3 cells, exact cosine inside them —
+  // the 10^9-vector scale path next to brute force (q27) and
+  // hyperplane LSH (q31/q34). Rows-only (clustering is engine-defined).
+  private val q38 = QueryDef("q38_ann_ivf",
+    (s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("features", array_to_vector(col("e")))
+      val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").fit(emb)
+      val assigned = model.transform(emb).withColumnRenamed("prediction", "cell")
+      val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+      val q = assigned.filter(col("vec_id") === 0)
+        .select(col("e").as("qe")).head().getSeq[Double](0)
+      // nearest 3 cells to the query vector (driver-side: k centroids)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val probeCells = centroids.zipWithIndex
+        .sortBy { case (c, _) => -cos(q, c) }.take(3).map(_._2)
+      assigned
+        .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= 0)
+        .withColumn("cos", round(cosineCol(col("e"),
+          typedLit(q)), 3))
+        .orderBy(desc("cos"), col("vec_id"))
+        .select(col("vec_id"), col("cell"), col("cos"))
+        .limit(10)
+    },
+    None)
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36)
+    q31, q32, q33, q34, q35, q36, q37, q38)
 }
