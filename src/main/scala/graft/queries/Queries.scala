@@ -833,10 +833,55 @@ object Queries {
     },
     None)
 
+  // grouping sets / rollup (free from Catalyst; subtotal rows)
+  private val q39 = QueryDef("q39_rollup",
+    (s, d) => t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  // exact percentiles (linear interpolation on both engines)
+  private val q40 = QueryDef("q40_percentiles",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+              round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+              round(min(l_extendedprice), 2) AS lo,
+              round(max(l_extendedprice), 2) AS hi
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  // scalar string-function battery (C5/C7-adjacent surface)
+  private val q41 = QueryDef("q41_string_funcs",
+    (s, d) => t(s, d, "part")
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, upper(p_brand) AS brand_u,
+              substr(p_name, 1, 8) AS name8,
+              lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+              levenshtein(p_brand, p_type) AS lev,
+              length(p_name) AS name_len
+            FROM part ORDER BY p_partkey"""))
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }
