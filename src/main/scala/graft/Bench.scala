@@ -39,6 +39,10 @@ object Bench {
 
     val results = Queries.all.map { q =>
       val sec = try time(force(q.fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      // drop any blocks a query persisted (minhash/simhash barriers) so
+      // cached signatures neither leak executor memory across the run
+      // nor cross-subsidize a later query's timing
+      spark.catalog.clearCache()
       q.name -> sec
     }
 
@@ -55,7 +59,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + extractSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec%.1f,"extract_docs":$nDocs,"extract_sec":$extractSec%.3f}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec%.1f,"extract_docs":$nDocs,"extract_sec":$extractSec%.3f}"""
+    println(json)
+    // sbt prefixes stdout with "[info] ", which broke the driver's JSON
+    // parse in round 1 — always leave a machine-readable copy on disk
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()
   }
 }

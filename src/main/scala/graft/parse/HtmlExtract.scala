@@ -187,22 +187,38 @@ object HtmlExtract {
     blocks.result()
   }
 
+  /** Scan the tag body's attribute list properly: a name match must
+    * start a token (substring matches like `data-src` vs `src`, or a
+    * match inside another attribute's quoted value, don't count). */
   private def attr(tagBody: String, name: String): Option[String] = {
-    val lower = tagBody.toLowerCase
-    val at = lower.indexOf(name + "=")
-    if (at < 0) None
-    else {
-      val vStart = at + name.length + 1
-      if (vStart >= tagBody.length) None
-      else tagBody.charAt(vStart) match {
-        case q @ ('"' | '\'') =>
-          val end = tagBody.indexOf(q, vStart + 1)
-          if (end < 0) None else Some(tagBody.substring(vStart + 1, end))
-        case _ =>
-          val end = tagBody.indexWhere(_.isWhitespace, vStart)
-          Some(tagBody.substring(vStart, if (end < 0) tagBody.length else end))
+    var i = 0
+    val n = tagBody.length
+    // skip the element name
+    while (i < n && !tagBody.charAt(i).isWhitespace) i += 1
+    while (i < n) {
+      while (i < n && (tagBody.charAt(i).isWhitespace || tagBody.charAt(i) == '/')) i += 1
+      val nameStart = i
+      while (i < n && tagBody.charAt(i) != '=' && !tagBody.charAt(i).isWhitespace) i += 1
+      if (i <= nameStart) return None
+      val attrName = tagBody.substring(nameStart, i).toLowerCase
+      // value part (if any)
+      var value: Option[String] = None
+      if (i < n && tagBody.charAt(i) == '=') {
+        i += 1
+        if (i < n) tagBody.charAt(i) match {
+          case q @ ('"' | '\'') =>
+            val end = tagBody.indexOf(q, i + 1)
+            if (end < 0) { value = Some(tagBody.substring(i + 1)); i = n }
+            else { value = Some(tagBody.substring(i + 1, end)); i = end + 1 }
+          case _ =>
+            val vStart = i
+            while (i < n && !tagBody.charAt(i).isWhitespace) i += 1
+            value = Some(tagBody.substring(vStart, i))
+        }
       }
+      if (attrName == name) return value
     }
+    None
   }
 
   /** Distributed extraction: (doc_id, html) rows → Doc span rows. */

@@ -50,10 +50,12 @@ object Queries {
             count(*) AS n
             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // window chosen inside the synthetic data range (shipdates start
+  // 1995-01-02) so the filter+sort+limit chain is exercised on real rows
   private val q02 = QueryDef("q02_filter_sort_limit",
     (s, d) => t(s, d, "lineitem")
-      .filter(col("l_shipdate") >= lit("1994-01-01") &&
-        col("l_shipdate") < lit("1995-01-01") && col("l_discount") >= 0.05)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") && col("l_discount") >= 0.05)
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
       .orderBy(desc("revenue"), col("l_orderkey"), col("l_linenumber"))
@@ -61,8 +63,8 @@ object Queries {
     Some("""SELECT l_orderkey, l_linenumber,
             round(l_extendedprice * (1 - l_discount), 2) AS revenue
             FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-              AND l_shipdate < TIMESTAMP '1995-01-01' AND l_discount >= 0.05
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount >= 0.05
             ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 100"""))
 
   private val q03 = QueryDef("q03_join_broadcast",
@@ -86,13 +88,18 @@ object Queries {
             WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
             ORDER BY s_suppkey"""))
 
+  // anti-join against a genuinely partial key set (customers with no
+  // URGENT order — every customer has *some* order, which made the
+  // unfiltered variant trivially empty)
   private val q05 = QueryDef("q05_anti_join",
     (s, d) => t(s, d, "customer")
-      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey")),
     Some("""SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
             ORDER BY c_custkey"""))
 
   private val q06 = QueryDef("q06_window_topk",
@@ -211,7 +218,10 @@ object Queries {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
     },
-    Some("""SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    // CAST: DuckDB sum(int) is HUGEINT; the driver hashes it differently
+    // from Spark's int64 even when values are equal
+    Some("""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+              count(*) AS n_events
             FROM (
               SELECT user_id,
                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -328,14 +338,16 @@ object Queries {
   // Deduplication family
   // ===================================================================
 
+  // scale shape: group by the 128-bit digest, NOT the raw text — the
+  // exchange then moves hash-width keys instead of the whole corpus
   private val q20 = QueryDef("q20_dedup_exact",
     (s, d) => t(s, d, "documents")
-      .groupBy(col("text"))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
-      .select(md5(col("text")).as("fp"), col("keeper"), col("n_copies"))
       .orderBy(col("keeper")),
     Some("""SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
-            FROM documents GROUP BY text ORDER BY keeper"""))
+            FROM documents GROUP BY 1 ORDER BY keeper"""))
 
   // bag-of-words fingerprint dedup (order-insensitive near-dup)
   private val q21 = QueryDef("q21_dedup_fingerprint",
@@ -349,12 +361,23 @@ object Queries {
               min(doc_id) AS keeper, count(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY keeper"""))
 
+  /** q22 block-size cap: a block (same `n_chars`) with more than this
+    * many docs is dropped instead of expanded quadratically — the exact
+    * baseline stays exact on bounded blocks and never goes O(n²) on a
+    * hot key (the unbounded scale path is LSH banding, q24). */
+  private val JaccardBlockCap = 64
   // n-gram (token-set) Jaccard near-dup pairs, blocked by n_chars
   private val q22 = QueryDef("q22_ngram_jaccard",
     (s, d) => {
-      val docs = t(s, d, "documents")
+      val raw = t(s, d, "documents")
         .select(col("doc_id"), col("n_chars"),
           array_distinct(toks(col("text"))).as("tk"))
+      // bounded blocks only: broadcast the (tiny) blocklist of key counts
+      val okBlocks = raw.groupBy(col("n_chars"))
+        .agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") <= JaccardBlockCap)
+        .select(col("n_chars"))
+      val docs = raw.join(broadcast(okBlocks), Seq("n_chars"))
       val a = docs.select(col("doc_id").as("d1"), col("n_chars").as("nc"), col("tk").as("tk1"))
       val b = docs.select(col("doc_id").as("d2"), col("n_chars").as("nc"), col("tk").as("tk2"))
       a.join(b, Seq("nc")).filter(col("d1") < col("d2"))
@@ -364,10 +387,12 @@ object Queries {
         .filter(col("jaccard") >= 0.3)
         .orderBy(col("d1"), col("d2"))
     },
-    Some("""WITH dd AS (
+    Some("""WITH dd0 AS (
               SELECT doc_id, n_chars,
                 list_distinct(string_split_regex(trim(text), '\s+')) AS tk
-              FROM documents)
+              FROM documents),
+            ok AS (SELECT n_chars FROM dd0 GROUP BY 1 HAVING count(*) <= 64),
+            dd AS (SELECT dd0.* FROM dd0 JOIN ok USING (n_chars))
             SELECT a.doc_id AS d1, b.doc_id AS d2,
               round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
                 len(list_distinct(list_concat(a.tk, b.tk))), 3) AS jaccard
@@ -574,8 +599,10 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("resolved"))
     },
+    // CAST: DuckDB sum(int) is HUGEINT; the driver hashes it differently
+    // from Spark's int64 even when values are equal
     Some("""SELECT CONCAT('catalog://', source) AS resolved,
-              count(*) AS n_docs, sum(n_chars) AS sum_chars
+              count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source ORDER BY resolved"""))
 
   // ===================================================================
@@ -772,13 +799,13 @@ object Queries {
         // stop-fingerprint cap: a fingerprint shared by hundreds of
         // docs carries no near-dup signal and would blow up the pair
         // generation quadratically — drop it (standard LSH hygiene)
-        .filter(size(col("ids")) > 1 && size(col("ids")) <= 16)
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= 64)
         .select(explode(flatten(transform(col("ids"), (a, i) =>
           transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
             struct(a.as("d1"), b.as("d2")))))).as("p"))
         .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .agg(count(lit(1)).as("shared_fps"))
-        .filter(col("shared_fps") >= 5)
+        .filter(col("shared_fps") >= 2)
         .orderBy(desc("shared_fps"), col("d1"), col("d2"))
         .limit(200)
     },

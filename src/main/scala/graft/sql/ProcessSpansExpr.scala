@@ -97,11 +97,14 @@ case class ProcessSpans(child: Expression, cfg: ProcessConfig)
     }
 
     // 2. stable sort by offset (S8): pack (offset, index) into one
-    // long so a primitive Arrays.sort is stable and allocation-free
+    // long so a primitive Arrays.sort is stable and allocation-free.
+    // The sign-extended offset keeps the high word in signed order for
+    // negative offsets too; the index low word is non-negative, so
+    // same-offset entries compare on it (stability).
     val packed = new Array[Long](m)
     var pi = 0
     while (pi < m) {
-      packed(pi) = ((offsets(pi).toLong + Int.MaxValue + 1L) << 32) | pi.toLong
+      packed(pi) = (offsets(pi).toLong << 32) | (pi.toLong & 0xFFFFFFFFL)
       pi += 1
     }
     java.util.Arrays.sort(packed)

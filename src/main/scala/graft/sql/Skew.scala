@@ -34,11 +34,13 @@ object Skew {
     * @param key   join column name present on both sides
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
-    // the salt only steers distribution — every salt value joins the
-    // same replicated dimension row, so a task retry recomputing a
-    // different salt still yields identical results
+    // the salt must be DETERMINISTIC per row: on a task retry or a
+    // partial stage recompute, a row must land in the same shuffle
+    // partition it did the first time, or rows get duplicated/lost in
+    // the replayed exchange. Hash every natural column of the row
+    // (identical rows share a salt — harmless, they carry no identity).
     val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
     val explodedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(explodedSmall, Seq(key, "_salt")).drop("_salt")
