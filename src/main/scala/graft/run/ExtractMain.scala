@@ -67,6 +67,11 @@ object ExtractMain {
     val rep = Extraction.writeReport(all, s"$outRoot/report")
     println(s"[extract] report: mean=${rep.mean} bins=[${rep.b1},${rep.b2},${rep.b3},${rep.b4},${rep.b5}] " +
       s"total=${rep.n_total} invalid=${rep.n_invalid}")
+    // A1/A2 corpus replacement statistics, reference `ſ:392` format
+    // (ocr_pipeline.py:402-411) — O(#distinct keys) driver-side
+    val stats = Extraction.corpusReplStats(all).collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(1)}")
+    println(s"[extract] replacement stats: ${stats.mkString(", ")}")
     ckpt.lineage().show(truncate = false)
   }
 }

@@ -19,8 +19,8 @@ import graft.text.TextRules
   *
   * SQL surface:
   *  - `graft_process_spans(spans)` → struct(spans, hit_ratio, n_words,
-  *    n_errs, n_lines_in, n_wraps, n_shorts, n_lines_out) — the full
-  *    per-document chain with the production defaults.
+  *    n_errs, n_lines_in, n_wraps, n_shorts, n_lines_out, repl_stats)
+  *    — the full per-document chain with the production defaults.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

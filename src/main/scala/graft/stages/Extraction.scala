@@ -26,7 +26,10 @@ final case class ExtractConfig(
     pagePrefix: String = "p") // StepPostprocessALTO page_prefix (lib/ocr_step.py:552)
 
 /** A document row after the full stage chain: cleaned spans plus the
-  * per-document estimation record. */
+  * per-document estimation record and the replacement statistics
+  * (A1/A2, lib/ocr_step.py:255-268 — keys that occurred mapped to
+  * their per-span hit counts; regex stats keyed `match=>replacement`).
+  */
 final case class ProcessedDoc(
     doc_id: String,
     spans: Seq[Span],
@@ -39,7 +42,13 @@ final case class ProcessedDoc(
     n_lines_in: Int,
     n_wraps: Int,
     n_shorts: Int,
-    n_lines_out: Int)
+    n_lines_out: Int,
+    repl_stats: Map[String, Int] = Map.empty)
+
+/** Internal row shape of the HOF twin: cleaned spans for estimation +
+  * the raw pre-replacement spans for the stats pass. */
+private[stages] final case class CleanedWithRaw(
+    doc_id: String, spans: Seq[Span], raw_spans: Seq[Span])
 
 /** The extraction pipeline: the reference's per-document step chain
   * (ocr_pipeline.py:379-441 with conf/ocr_config.ini:15-37) re-expressed
@@ -130,21 +139,39 @@ object Extraction {
       fileId, doc.doc_id, ratio, nWords, nErrs, nIn, nWraps, nShorts, nOut)
   }
 
+  /** A1/A2 replacement statistics of one document's raw spans — the
+    * pure twin of the stats the ProcessSpans expression computes
+    * inline (lib/ocr_step.py:255-268; each key counts once per span
+    * in which it occurred, regex keys are `match=>replacement`). */
+  def replStatsOf(spans: Seq[Span], cfg: ExtractConfig): Map[String, Int] = {
+    val stats = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    spans.foreach { s =>
+      if (s.kind == Span.KindText) {
+        val (t1, hits) = TextRules.replaceChars(s.text, cfg.replaceDict)
+        hits.foreach(k => stats.update(k, stats.getOrElse(k, 0) + 1))
+        cfg.regexRule.foreach { r =>
+          val (_, stat) = TextRules.regexGroupReplace(t1, r.compiled, r.old, r.nw)
+          stat.foreach(k => stats.update(k, stats.getOrElse(k, 0) + 1))
+        }
+      }
+    }
+    stats.toMap
+  }
+
   /** Full pipeline over a span table. Input: DataFrame with columns
     * (doc_id, spans). Output: Dataset[ProcessedDoc].
     *
     * Hot path: ONE custom Catalyst expression ([[graft.sql.ProcessSpans]])
     * does the whole per-doc chain over raw ArrayData — no interpreted
-    * HOF chain, no encoder round-trip. Falls back to the HOF + typed
-    * path only for RTL-reorder configs. */
+    * HOF chain, no encoder round-trip. RTL-reorder configs (W2) run on
+    * the same path via `ProcessConfig.reorderRtl`. */
   def pipeline(docs: DataFrame, cfg: ExtractConfig = ExtractConfig()): Dataset[ProcessedDoc] = {
-    if (cfg.reorderRtl) return pipelineHof(docs, cfg)
     val spark = docs.sparkSession
     import spark.implicits._
     val pcfg = graft.sql.ProcessConfig(
       cfg.replaceDict,
       cfg.regexRule.map(r => (r.pattern, r.old, r.nw)),
-      cfg.minLineLen, cfg.denseMinLen)
+      cfg.minLineLen, cfg.denseMinLen, cfg.reorderRtl)
     docs
       .select(col("doc_id"),
         graft.sql.ProcessSpans.process(col("spans"), pcfg).as("p"))
@@ -154,23 +181,37 @@ object Extraction {
         col("doc_id").as("file_name"),
         col("p.hit_ratio"), col("p.n_words"), col("p.n_errs"),
         col("p.n_lines_in"), col("p.n_wraps"), col("p.n_shorts"),
-        col("p.n_lines_out"))
+        col("p.n_lines_out"), col("p.repl_stats"))
       .as[ProcessedDoc]
   }
 
   /** Reference composition of built-in HOF stages + typed estimate map
     * — semantically identical to [[pipeline]]; kept as the
-    * cross-validation twin and for RTL configs. */
+    * cross-validation twin (different mechanism, same spec). The raw
+    * spans ride along so the stats pass sees pre-replacement text. */
   def pipelineHof(docs: DataFrame, cfg: ExtractConfig = ExtractConfig()): Dataset[ProcessedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val cleaned = docs.select(
       col("doc_id"),
-      spanColumnStage(cfg)(col("spans")).as("spans"))
-    cleaned.as[Doc].mapPartitions { it =>
-      it.map(d => estimateDoc(d, cfg))
+      spanColumnStage(cfg)(col("spans")).as("spans"),
+      col("spans").as("raw_spans"))
+    cleaned.as[CleanedWithRaw].mapPartitions { it =>
+      it.map { d =>
+        estimateDoc(Doc(d.doc_id, d.spans), cfg)
+          .copy(repl_stats = replStatsOf(d.raw_spans, cfg))
+      }
     }
   }
+
+  /** Corpus-level replacement statistics (the reference logs these per
+    * file at ocr_pipeline.py:402-411; here one tiny aggregate over the
+    * per-doc maps): key → total hits, descending. */
+  def corpusReplStats(processed: Dataset[ProcessedDoc]): DataFrame =
+    processed.select(explode(col("repl_stats")).as(Seq("key", "hits")))
+      .groupBy(col("key"))
+      .agg(sum(col("hits")).as("n"))
+      .orderBy(desc("n"), col("key"))
 
   /** Attach observability metrics (E4 / north_rule "accumulator
     * metrics": docs parsed, spans emitted, parse failures) to a

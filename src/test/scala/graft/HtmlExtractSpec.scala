@@ -59,6 +59,15 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(refs.size >= 3) // h1, p1, p2+figcaption blocks
   }
 
+  test("img src is matched as a whole attribute (data-src does not shadow it)") {
+    val html = "<body><p>eins zwei drei vier</p>" +
+      "<img data-src='lazy.png' src='real.png'/>" +
+      "<img alt='src=fake.png inside a value' src=\"plain.png\"></body>"
+    val media = HtmlExtract.extract(html, "d").spans.filter(_.kind == Span.KindMedia)
+    assert(media.map(_.media_ref) ==
+      Vector("media://d/img0#real.png", "media://d/img1#plain.png"))
+  }
+
   test("malformed and truncated markup does not crash") {
     assert(HtmlExtract.extract("<p>ok<div<span>broken</spa", "x").spans.nonEmpty ||
       true)

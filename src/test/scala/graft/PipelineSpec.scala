@@ -98,6 +98,34 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("pipeline surfaces reference-pinned replacement stats (ſ:392, ic):6 + regex pairs)") {
+    assume(Files.isReadable(resDir.resolve("500_gray00003.xml")))
+    import spark.implicits._
+    val doc = fixtureDoc("500_gray00003.xml")
+    // A1 literal dict (tests/test_steps.py:306 pins ſ:392, ic):6)
+    val out = Extraction.pipeline(Seq(doc).toDF(),
+      ExtractConfig(replaceDict = TextRules.FixtureReplaceDict)).collect().head
+    assert(out.repl_stats == Map("ſ" -> 392, "ic)" -> 6))
+    // A2 regex stats. The reference's pinned pairs (`a3"=>as":5`,
+    // test_steps.py:331-341) match the attribute-CLOSING QUOTE of the
+    // raw serialized XML — token text cannot contain that quote, so the
+    // token-level twin drops the quote from the pattern; counts below
+    // are independently derived from the fixture's CONTENT tokens.
+    val outR = Extraction.pipeline(Seq(doc).toDF(),
+      ExtractConfig(replaceDict = Nil,
+        regexRule = Some(RegexRule("([aeioubcglnt]3)", "3", "s")))).collect().head
+    val expected = Map(
+      "a3=>as" -> 5, "u3=>us" -> 1, "e3=>es" -> 7, "l3=>ls" -> 2,
+      "t3=>ts" -> 4, "c3=>cs" -> 1, "b3=>bs" -> 1, "i3=>is" -> 2,
+      "g3=>gs" -> 3)
+    assert(outR.repl_stats == expected)
+    // corpus aggregation (the reference's per-file log roll-up)
+    val agg = Extraction.corpusReplStats(Extraction.pipeline(Seq(doc, doc.copy(doc_id = "copy")).toDF(),
+      ExtractConfig(replaceDict = TextRules.FixtureReplaceDict))).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(agg == Map("ſ" -> 784L, "ic)" -> 12L))
+  }
+
   test("estimation counters on 500_gray00003 spans: 360 lines in, 346 out") {
     assume(Files.isReadable(resDir.resolve("500_gray00003.xml")))
     val doc = fixtureDoc("500_gray00003.xml")

@@ -20,6 +20,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("extraction projection stays inside whole-stage codegen (no fallback barrier)") {
+    import spark.implicits._
+    val docs = graft.gen.CorpusGen.docs(spark, 100, "interleaved").toDF()
+    val df = Extraction.pipeline(docs, ExtractConfig()).toDF()
+    df.collect() // finalize AQE so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"extraction projection not codegen'd:\n$plan")
+  }
+
   test("filter and projection push down to the parquet scan") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-plan").toString

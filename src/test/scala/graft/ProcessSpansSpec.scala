@@ -25,6 +25,7 @@ class ProcessSpansSpec extends SparkSpecBase {
         f.n_shorts, f.n_lines_out) ==
         ((r.hit_ratio, r.n_words, r.n_errs, r.n_lines_in, r.n_wraps,
           r.n_shorts, r.n_lines_out)), s"estimation of ${r.doc_id}")
+      assert(f.repl_stats == r.repl_stats, s"repl stats of ${r.doc_id}")
       assert((f.page_id, f.file_identifier, f.file_name) == ((r.page_id, r.file_identifier, r.file_name)))
     }
   }
@@ -38,6 +39,41 @@ class ProcessSpansSpec extends SparkSpecBase {
     equivalent(docs, ExtractConfig(
       regexRule = Some(RegexRule("([aeioubcglnt]3[:-]*\")", "3", "s")),
       pagePrefix = ""))
+  }
+
+  test("RTL reorder configs run the expression hot path and match the HOF twin") {
+    val resDir = Paths.get("/root/reference/tests/resources")
+    assume(Files.isReadable(resDir.resolve("Lubab_alAlbab.pdf_000003.xml")))
+    val parser = new OcrXmlParser
+    val xml = new String(Files.readAllBytes(
+      resDir.resolve("Lubab_alAlbab.pdf_000003.xml")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val arabic = Doc("Lubab_alAlbab.pdf_000003",
+      OcrXmlParser.toSpans("Lubab_alAlbab.pdf_000003", parser.parse(xml)))
+    val generated = (0L until 40L).map(i =>
+      graft.gen.CorpusGen.genDoc(i, "interleaved", 11L, 1500))
+    val cfg = ExtractConfig(reorderRtl = true)
+    equivalent(arabic +: generated, cfg)
+    // the hot path must actually be taken (no HOF fallback): the
+    // analyzed plan contains the custom expression (the EXECUTED plan
+    // of a local Seq is pre-evaluated by ConvertToLocalRelation)
+    import spark.implicits._
+    val plan = Extraction.pipeline(Seq(arabic).toDF(), cfg)
+      .queryExecution.analyzed.toString.toLowerCase
+    assert(plan.contains("processspans"),
+      s"RTL config fell off the expression path:\n$plan")
+  }
+
+  test("negative offsets sort in signed order (stable)") {
+    import spark.implicits._
+    import graft.model.Span
+    val doc = Doc("neg", Seq(
+      Span("text", "c", "line://b/l0", 1),
+      Span("text", "a", "line://b/l0", -2),
+      Span("text", "b", "line://b/l0", -1),
+      Span("text", "z", "line://b/l0", 0)))
+    val out = Extraction.pipeline(Seq(doc).toDF(), ExtractConfig()).collect().head
+    assert(out.spans.map(_.text) == Seq("a", "b", "z", "c"))
   }
 
   test("expression path == HOF path on reference fixtures") {
