@@ -318,21 +318,40 @@ object OcrXmlParser {
   /** Flatten a parsed document into the engine's span sequence:
     * every token (blank ones included — the cleanup stage drops them,
     * lib/ocr_step.py:581-602) plus media placeholders, in document
-    * order. */
+    * order.
+    *
+    * PAGE dialects get the reference's word treatment
+    * (lib/ocr_model.py:143-157): words sorted by truncated centroid-x
+    * (stable), token text trimmed and directional marks stripped —
+    * the same path `getLines`/`buildPageLine` takes, so the span table
+    * and the line model agree. Divergence (documented): where the
+    * reference CRASHES the file on a word with invalid Coords
+    * (lib/ocr_model.py:126-129), the span flattening stays tolerant
+    * and keeps document order — strict validity (F4/F5) is enforced in
+    * the line-model stage ([[getLines]]), which raises exactly like
+    * the reference. */
   def toSpans(docId: String, doc: ParsedDoc): Vector[Span] = {
+    val isPage = doc.dialect.startsWith("page")
     val out = Vector.newBuilder[Span]
     var off = 0
     def emitLine(l: RawLine): Unit = {
       val ref = Span.LineRefPrefix + l.blockId + "/" + l.id
       if (l.words.nonEmpty) {
-        l.words.foreach { w =>
-          out += Span(Span.KindText, w.text.getOrElse(""), ref, off)
+        val ws =
+          if (isPage && l.words.forall(_.centerX.isDefined))
+            l.words.sortBy(_.centerX.get.toInt) // stable, int-truncated key
+          else l.words
+        ws.foreach { w =>
+          val raw = w.text.getOrElse("")
+          val t = if (isPage) TextRules.stripMarks(raw.trim) else raw
+          out += Span(Span.KindText, t, ref, off)
           off += 1
         }
       } else l.lineText.foreach { t =>
         // PAGE line without Words: the line's own text is the single
         // token (lib/ocr_model.py:132-141)
-        out += Span(Span.KindText, t, ref, off)
+        out += Span(Span.KindText,
+          if (isPage) TextRules.stripMarks(t.trim) else t, ref, off)
         off += 1
       }
     }

@@ -88,13 +88,11 @@ class PipelineSpec extends SparkSpecBase {
       val expect = OcrXmlParser.getLines(parsed, minLen = 2).map(_.content)
       val spans = OcrXmlParser.toSpans("x", parsed)
       val got = Extraction.toLines(spans, 2, reorder = false).map(_.content)
-      // PAGE tokens go through strip/mark-clean during getLines; the
-      // span path stores raw tokens — re-derive: for ALTO both paths
-      // must agree exactly.
-      if (parsed.dialect.startsWith("alto"))
-        assert(got == expect, s"fixture $name")
-      else
-        assert(got.size == expect.size, s"fixture $name line count")
+      // toSpans applies the same PAGE treatment as getLines (centroid
+      // sort, trim, mark strip), so contents agree on both dialects;
+      // only the kept-line filter differs in principle (line-text
+      // length vs joined-token length), not on these fixtures.
+      assert(got == expect, s"fixture $name")
     }
   }
 
