@@ -654,29 +654,40 @@ object Queries {
     },
     None)
 
+  /** Deterministic pseudo-random hyperplanes shared by q31/q34 — fixed
+    * literals, so the LSH signature is SQL-expressible in the oracle. */
+  private val AnnDims = 64
+  private val AnnPlanes = 12
+  private lazy val annPlanes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until AnnPlanes).map { p =>
+      (0 until AnnDims).map { i =>
+        graft.gen.CorpusGen.mix64(p.toLong * 1024 + i).toDouble / Long.MaxValue.toDouble
+      }
+    }
+  private def annBucketCol(e: Column): Column =
+    (0 until AnnPlanes).map { p =>
+      val dot = aggregate(zip_with(e, typedLit(annPlanes(p)), (x, y) => x * y),
+        lit(0.0), _ + _)
+      when(dot > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+  /** The same 12 sign tests as DuckDB SQL over literal plane vectors
+    * (17 significant digits round-trip a double exactly). */
+  private lazy val annBucketSql: String =
+    (0 until AnnPlanes).map { p =>
+      val lits = annPlanes(p).map(v => f"$v%.17g").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lits) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   private val q31 = QueryDef("q31_ann_lsh_buckets",
-    (s, d) => {
-      // random-hyperplane LSH: 12 deterministic pseudo-random planes
-      val dims = 64; val nPlanes = 12
-      val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
-        (0 until dims).map { i =>
-          val h = graft.gen.CorpusGen.mix64(p.toLong * 1024 + i)
-          (h.toDouble / Long.MaxValue.toDouble)
-        }
-      }
-      val emb = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val sigBits = (0 until nPlanes).map { p =>
-        val dot = aggregate(zip_with(col("e"), typedLit(planes(p)), (x, y) => x * y),
-          lit(0.0), _ + _)
-        when(dot > 0, lit(1L << p)).otherwise(0L)
-      }
-      emb.withColumn("bucket", sigBits.reduce(_ + _))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
-        .orderBy(col("bucket"))
-    },
-    None)
+    (s, d) => t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("bucket", annBucketCol(col("e")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("bucket")),
+    Some(s"""SELECT CAST($annBucketSql AS BIGINT) AS bucket,
+               count(*) AS n_vecs, min(vec_id) AS min_vec
+             FROM embeddings GROUP BY 1 ORDER BY 1"""))
 
   private val q32 = QueryDef("q32_html_extract",
     (s, d) => {
@@ -738,21 +749,9 @@ object Queries {
   // rows-only)
   private val q34 = QueryDef("q34_ann_query",
     (s, d) => {
-      val dims = 64; val nPlanes = 12
-      val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
-        (0 until dims).map { i =>
-          graft.gen.CorpusGen.mix64(p.toLong * 1024 + i).toDouble / Long.MaxValue.toDouble
-        }
-      }
-      def bucketOf(e: Column): Column =
-        (0 until nPlanes).map { p =>
-          val dot = aggregate(zip_with(e, typedLit(planes(p)), (x, y) => x * y),
-            lit(0.0), _ + _)
-          when(dot > 0, lit(1L << p)).otherwise(0L)
-        }.reduce(_ + _)
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        .withColumn("bucket", bucketOf(col("e")))
+        .withColumn("bucket", annBucketCol(col("e")))
       val q = emb.filter(col("vec_id") === 0)
         .select(col("bucket"), col("e").as("qe"))
       emb.join(broadcast(q), Seq("bucket"))
@@ -826,39 +825,79 @@ object Queries {
               len(string_split_regex(trim(text), '\\s+')) AS n_ws
             FROM documents ORDER BY doc_id"""))
 
-  // IVF approximate nearest neighbor: MLlib k-means coarse quantizer,
-  // probe the query's nearest 3 cells, exact cosine inside them —
-  // the 10^9-vector scale path next to brute force (q27) and
-  // hyperplane LSH (q31/q34). Rows-only (clustering is engine-defined).
+  // IVF approximate nearest neighbor with a deterministic MEDOID coarse
+  // quantizer (cells = the vectors with vec_id 1..8): assignment,
+  // probing and search are pure Catalyst — no model fit and no driver
+  // round-trip inside the query, which is what the 10^9-vector
+  // lifecycle demands (the trained-and-persisted k-means variant of the
+  // same architecture lives in graft.ml.IvfIndex). Fully oracled:
+  // ranking uses the ROUNDED cosine with vec_id tie-break so both
+  // engines agree bit-for-bit.
+  private val IvfCells = 8
+  private val IvfProbe = 3
   private val q38 = QueryDef("q38_ann_ivf",
     (s, d) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.sql.expressions.Window
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        .withColumn("features", array_to_vector(col("e")))
-      val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
-        .setFeaturesCol("features").fit(emb)
-      val assigned = model.transform(emb).withColumnRenamed("prediction", "cell")
-      val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
-      val q = assigned.filter(col("vec_id") === 0)
-        .select(col("e").as("qe")).head().getSeq[Double](0)
-      // nearest 3 cells to the query vector (driver-side: k centroids)
-      def cos(a: Seq[Double], b: Seq[Double]): Double = {
-        val dot = a.zip(b).map { case (x, y) => x * y }.sum
-        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
-      }
-      val probeCells = centroids.zipWithIndex
-        .sortBy { case (c, _) => -cos(q, c) }.take(3).map(_._2)
-      assigned
-        .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= 0)
-        .withColumn("cos", round(cosineCol(col("e"),
-          typedLit(q)), 3))
+      val seeds = emb.filter(col("vec_id").between(1, IvfCells))
+        .select(col("vec_id").as("cell"), col("e").as("ce"))
+      // coarse assignment: argmax cosine over the k broadcast seeds,
+      // ties to the smallest cell — one map-side-combined aggregate
+      val scored = emb.crossJoin(broadcast(seeds))
+        .withColumn("cs", cosineCol(col("e"), col("ce")))
+      val assigned = scored
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("cs"), -col("cell"))).as("cell"),
+          first(col("e")).as("e"))
+      // the query (vec 0) probes its 3 nearest cells
+      val probe = scored.filter(col("vec_id") === 0)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("cell"))))
+        .filter(col("rk") <= IvfProbe)
+        .select(col("cell"))
+      val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      assigned.join(broadcast(probe), Seq("cell"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", round(cosineCol(col("e"), col("qe")), 3) + lit(0.0))
         .orderBy(desc("cos"), col("vec_id"))
         .select(col("vec_id"), col("cell"), col("cos"))
         .limit(10)
     },
-    None)
+    Some(s"""WITH emb AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             seeds AS (
+               SELECT vec_id AS cell, e AS ce FROM emb
+               WHERE vec_id BETWEEN 1 AND $IvfCells),
+             scored AS (
+               SELECT emb.vec_id, seeds.cell, emb.e,
+                 list_dot_product(e, ce) /
+                   (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) AS cs
+               FROM emb, seeds),
+             assigned AS (
+               SELECT vec_id, cell, e FROM (
+                 SELECT vec_id, cell, e,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rk
+                 FROM scored) WHERE rk = 1),
+             probe AS (
+               SELECT cell FROM (
+                 SELECT cell,
+                   row_number() OVER (ORDER BY cs DESC, cell) AS rk
+                 FROM scored WHERE vec_id = 0) WHERE rk <= $IvfProbe),
+             q AS (SELECT e AS qe FROM emb WHERE vec_id = 0)
+             SELECT vec_id, cell, cos FROM (
+               SELECT a.vec_id, a.cell,
+                 round(list_dot_product(a.e, qe) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(qe, qe))), 3)
+                   + 0.0 AS cos,
+                 row_number() OVER (ORDER BY
+                   round(list_dot_product(a.e, qe) /
+                     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(qe, qe))), 3)
+                     DESC, a.vec_id) AS rk
+               FROM assigned a JOIN probe USING (cell), q
+               WHERE a.vec_id <> 0) WHERE rk <= 10
+             ORDER BY cos DESC, vec_id"""))
 
   // grouping sets / rollup (free from Catalyst; subtotal rows)
   private val q39 = QueryDef("q39_rollup",
@@ -888,6 +927,20 @@ object Queries {
               round(max(l_extendedprice), 2) AS hi
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  // the SCALE path next to exact q40: approx_percentile keeps a bounded
+  // sketch per group instead of buffering every value (exact percentile
+  // is a per-task OOM at 10^8 values/group). Approximate by design →
+  // rows-only; q40 stays the oracled exact twin.
+  private val q42 = QueryDef("q42_percentiles_approx",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("p50"),
+        round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag")),
+    None)
+
   // scalar string-function battery (C5/C7-adjacent surface)
   private val q41 = QueryDef("q41_string_funcs",
     (s, d) => t(s, d, "part")
@@ -910,5 +963,5 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }
