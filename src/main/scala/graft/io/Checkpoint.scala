@@ -28,6 +28,12 @@ final class Checkpoint(spark: SparkSession, root: String) {
   private val statePath = s"$root/state"
   def dataPath(part: Int): String = s"$root/data/p_$part"
 
+  /** S7 — pre-image audit location for partition `p`: the input
+    * snapshot written before the stage output overwrites anything
+    * (the reference's `<label>_before_<StepClass>.xml` backup,
+    * lib/ocr_step.py:230-243). */
+  def backupPath(part: Int): String = s"$root/backup/p_$part"
+
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

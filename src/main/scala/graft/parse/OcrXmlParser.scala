@@ -37,7 +37,10 @@ final case class RawWord(id: String, text: Option[String], centerX: Option[Doubl
 
 /** One parsed text line with its layout context. `hasLineUnicode` is
   * false when a PAGE line has no direct `TextEquiv/Unicode` (reference:
-  * AttributeError crash — engine: parse error). */
+  * AttributeError crash — engine: parse error). `shape` carries the
+  * line geometry (C9, lib/ocr_model.py:93-98 + :160-173): ALTO lines
+  * get the 4 rect corners derived from HPOS/VPOS/WIDTH/HEIGHT, PAGE
+  * lines the Coords polygon as-is; empty when absent/unparseable. */
 final case class RawLine(
     id: String,
     blockId: String,
@@ -47,7 +50,8 @@ final case class RawLine(
     lineCenterY: Option[Double],
     hasShape: Boolean,
     hasLineUnicode: Boolean = true,
-    seq: Int = 0) // document-order event index (interleaving with media)
+    seq: Int = 0, // document-order event index (interleaving with media)
+    shape: Vector[(Int, Int)] = Vector.empty)
 
 /** One parsed non-text region (ALTO `Illustration`/`GraphicalElement`). */
 final case class RawMedia(id: String, kind: String, seq: Int = 0)
@@ -100,6 +104,7 @@ final class OcrXmlParser {
     var lineUnicodeSeen = false // first line-level Unicode wins (lxml find)
     var lineCenter: Option[(Double, Double)] = None
     var lineHasShape = false
+    var lineShape: Vector[(Int, Int)] = Vector.empty
 
     // nesting trackers
     var blockStack: List[String] = Nil
@@ -145,6 +150,9 @@ final class OcrXmlParser {
               lineUnicodeSeen = false
               lineCenter = None
               lineHasShape = attr("HPOS") != null
+              // ALTO rect → 4 corners (lib/ocr_model.py:93-98)
+              lineShape = altoRect(attr("HPOS"), attr("VPOS"),
+                attr("WIDTH"), attr("HEIGHT"))
             case "String" if inLine =>
               // ALTO word token: CONTENT attribute (lib/ocr_model.py:89-91)
               val content = attr("CONTENT")
@@ -164,9 +172,14 @@ final class OcrXmlParser {
               textBuf.setLength(0)
             case "Coords" if inLine =>
               val pts = attr("points")
-              val center = parseCenter(pts)
+              val pairs = parsePoints(pts)
+              val center = centerOf(pairs)
               if (inWord) wordCenter = center
-              else if (lineCenter.isEmpty) lineCenter = center
+              else {
+                if (lineCenter.isEmpty) lineCenter = center
+                // PAGE polygon carried as-is (lib/ocr_model.py:160-173)
+                if (lineShape.isEmpty) lineShape = pairs
+              }
               if (center.isDefined && !inWord) lineHasShape = true
             case "Illustration" =>
               media += RawMedia(Option(attr("ID")).getOrElse(""), "Illustration", eventSeq)
@@ -203,7 +216,7 @@ final class OcrXmlParser {
               inLine = false
               lines += RawLine(lineId, lineBlock, lineWords.result(), lineText,
                 lineCenter.map(_._1), lineCenter.map(_._2), lineHasShape,
-                lineUnicodeSeen, lineSeq)
+                lineUnicodeSeen, lineSeq, lineShape)
             case "TextBlock" | "TextRegion" | "ComposedBlock" =>
               if (blockStack.nonEmpty) blockStack = blockStack.tail
             case _ =>
@@ -216,13 +229,13 @@ final class OcrXmlParser {
     ParsedDoc(dialect, lines.result(), media.result())
   }
 
-  /** PAGE `Coords@points` → centroid, or None when the attribute holds
-    * no coordinate tokens (lib/ocr_model.py:190-200, :181-187). Strict
-    * integer parsing like the reference's `int(...)`. */
-  private def parseCenter(points: String): Option[(Double, Double)] = {
-    if (points == null) return None
+  /** PAGE `Coords@points` → point pairs (lib/ocr_model.py:169-173's
+    * group-clustering idiom). Strict integer parsing like the
+    * reference's `int(...)`; empty when the attribute holds none. */
+  private def parsePoints(points: String): Vector[(Int, Int)] = {
+    if (points == null) return Vector.empty
     val toks = TextRules.splitWs(points)
-    if (toks.isEmpty) return None
+    if (toks.isEmpty) return Vector.empty
     val vals = mutable.ArrayBuffer.empty[Int]
     toks.foreach { t =>
       t.split(",").foreach { n =>
@@ -231,14 +244,31 @@ final class OcrXmlParser {
       }
     }
     val nPairs = vals.length / 2
-    if (nPairs == 0) return None
+    Vector.tabulate(nPairs)(i => (vals(2 * i), vals(2 * i + 1)))
+  }
+
+  /** Centroid of a point list (lib/ocr_model.py:181-187). */
+  private def centerOf(pairs: Vector[(Int, Int)]): Option[(Double, Double)] = {
+    if (pairs.isEmpty) return None
     var sx = 0L
     var sy = 0L
-    var i = 0
-    while (i < nPairs) {
-      sx += vals(2 * i); sy += vals(2 * i + 1); i += 1
-    }
-    Some((sx.toDouble / nPairs, sy.toDouble / nPairs))
+    pairs.foreach { case (x, y) => sx += x; sy += y }
+    Some((sx.toDouble / pairs.length, sy.toDouble / pairs.length))
+  }
+
+  /** ALTO rect attrs → the reference's 4 corner points
+    * (lib/ocr_model.py:93-98); empty when absent or unparseable. */
+  private def altoRect(hpos: String, vpos: String,
+      width: String, height: String): Vector[(Int, Int)] = {
+    if (hpos == null || vpos == null || width == null || height == null)
+      return Vector.empty
+    try {
+      val x1 = java.lang.Integer.parseInt(hpos.trim)
+      val y1 = java.lang.Integer.parseInt(vpos.trim)
+      val x2 = x1 + java.lang.Integer.parseInt(width.trim)
+      val y2 = y1 + java.lang.Integer.parseInt(height.trim)
+      Vector((x1, y1), (x2, y1), (x2, y2), (x1, y2))
+    } catch { case _: NumberFormatException => Vector.empty }
   }
 }
 
@@ -314,6 +344,15 @@ object OcrXmlParser {
       }
     }
   }
+
+  /** C9 — line geometry carried through as a side table: one row per
+    * line with a parsed shape, keyed by the same `line://` ref the
+    * spans carry (joinable on (doc_id, line_ref)). ALTO shapes are the
+    * reference's 4 rect corners (lib/ocr_model.py:93-98), PAGE shapes
+    * the Coords polygon (lib/ocr_model.py:160-173). */
+  def lineShapes(doc: ParsedDoc): Vector[(String, Vector[(Int, Int)])] =
+    doc.lines.filter(_.shape.nonEmpty)
+      .map(l => (Span.LineRefPrefix + l.blockId + "/" + l.id, l.shape))
 
   /** Flatten a parsed document into the engine's span sequence:
     * every token (blank ones included — the cleanup stage drops them,

@@ -25,6 +25,7 @@ object ExtractMain {
     val inPath = args(0)
     val outRoot = args(1)
     val nParts = if (args.length > 2) args(2).toInt else 8
+    val backup = sys.env.get("SPARK_GRAFT_BACKUP").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,11 +36,12 @@ object ExtractMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, inPath, outRoot, nParts)
+    run(spark, inPath, outRoot, nParts, backup)
     spark.stop()
   }
 
-  def run(spark: SparkSession, inPath: String, outRoot: String, nParts: Int): Unit = {
+  def run(spark: SparkSession, inPath: String, outRoot: String, nParts: Int,
+      backup: Boolean = false): Unit = {
     import spark.implicits._
     val cfg = ExtractConfig()
     val ckpt = new Checkpoint(spark, outRoot)
@@ -49,8 +51,15 @@ object ExtractMain {
     val todo = ckpt.pending(0 until nParts)
     println(s"[extract] partitions total=$nParts pending=${todo.size}")
 
+    // S7: backup only when the config can actually modify content —
+    // the reference's `if self._replacements and self.must_backup()`
+    // gate (lib/ocr_step.py:230-232)
+    val doBackup = backup && (cfg.replaceDict.nonEmpty || cfg.regexRule.nonEmpty)
+
     todo.foreach { p =>
       val slice = docs.filter($"part" === p).drop("part")
+      if (doBackup)
+        slice.write.mode(SaveMode.Overwrite).parquet(ckpt.backupPath(p))
       // single pass: observe() collects lineage metrics during the write
       val (out, obs) = Extraction.observed(Extraction.pipeline(slice, cfg))
       out.write.mode(SaveMode.Overwrite).parquet(ckpt.dataPath(p))

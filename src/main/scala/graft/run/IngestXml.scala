@@ -53,8 +53,46 @@ object IngestXml {
     }
   }
 
+  /** Distributed parse of (doc_id, xml) rows into the C9 geometry side
+    * table: one row per line with a shape, joinable to the span table
+    * on (doc_id, line_ref). Parse failures contribute no rows here —
+    * they already surface as failure rows in [[parseDocs]]. */
+  def parseShapes(raw: Dataset[(String, String)])
+      : Dataset[(String, String, Seq[(Int, Int)])] = {
+    import raw.sparkSession.implicits._
+    raw.mapPartitions { it =>
+      val parser = ParserPool.get()
+      it.flatMap { case (docId, xml) =>
+        try OcrXmlParser.lineShapes(parser.parse(xml))
+          .map { case (ref, corners) => (docId, ref, corners) }
+        catch { case _: Exception => Nil }
+      }
+    }
+  }
+
+  /** S1/S2/S3 scan front end: `paths` may name SEVERAL roots
+    * (the reference's multi-directory scan, ocr_pipeline.py:58-61);
+    * each is read recursively with the extension predicate (F1). */
+  def readRaw(spark: SparkSession, paths: Seq[String]): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.read
+      .option("wholetext", "true")
+      // S2: recursive subtree scan (ocr_pipeline.py:312-319); the
+      // marker gate maps to Checkpoint partition pruning downstream
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.xml")
+      .text(paths: _*)
+      .select(
+        org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.input_file_name(), "([^/]+)\\.xml$", 1)
+          .as("doc_id"),
+        org.apache.spark.sql.functions.col("value").as("xml"))
+      .as[(String, String)]
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(inDir, outPath) = args.take(2)
+    val Array(inDirs, outPath) = args.take(2)
+    val shapesPath = if (args.length > 2) Some(args(2)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,22 +104,15 @@ object IngestXml {
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
 
-    val raw = spark.read
-      .option("wholetext", "true")
-      // S2: recursive subtree scan (ocr_pipeline.py:312-319); the
-      // marker gate maps to Checkpoint partition pruning downstream
-      .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.xml")
-      .text(inDir)
-      .select(
-        org.apache.spark.sql.functions.regexp_extract(
-          org.apache.spark.sql.functions.input_file_name(), "([^/]+)\\.xml$", 1)
-          .as("doc_id"),
-        org.apache.spark.sql.functions.col("value").as("xml"))
-      .as[(String, String)]
+    // S3: comma-separated multi-directory scan
+    val raw = readRaw(spark, inDirs.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
 
     val docs = parseDocs(raw)
     docs.write.mode("overwrite").parquet(outPath)
+    shapesPath.foreach { sp =>
+      parseShapes(raw).toDF("doc_id", "line_ref", "corners")
+        .write.mode("overwrite").parquet(sp)
+    }
 
     val summary = docs
       .map(d => (d.doc_id, d.spans.length,
