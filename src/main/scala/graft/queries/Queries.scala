@@ -427,14 +427,44 @@ object Queries {
   /** Shingle set + minhash signature, with the shingle column CACHED:
     * without the barrier, CollapseProject inlines the shingling into
     * each of the 8 hash computations (8× recompute) and again into
-    * every band hash downstream — measured 6× slowdown at sf0.1. */
-  private def signatureDF(s: SparkSession, d: String): DataFrame = {
+    * every band hash downstream — measured 6× slowdown at sf0.1.
+    * `minhash` is pluggable: md5 for the DuckDB-oracled twin,
+    * xxhash64 for the production-scale variant. */
+  private def signatureDFWith(s: SparkSession, d: String,
+      minhash: (Column, Int) => Column): DataFrame = {
     val sh = t(s, d, "documents")
       .select(col("doc_id"), shinglesCol(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.select(col("doc_id") +:
-      (0 until MinhashK).map(i => minhashCol(col("sh"), i).as(s"h$i")): _*)
+      (0 until MinhashK).map(i => minhash(col("sh"), i).as(s"h$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+  private def signatureDF(s: SparkSession, d: String): DataFrame =
+    signatureDFWith(s, d, minhashCol)
+
+  /** LSH banding over a signature table (h0..h{K-1}): bucket docs per
+    * (band, band-hash), expand intra-bucket pairs with a nested
+    * transform (ONE shuffle — no self-join recompute), count shared
+    * bands per pair. `bandHash` is pluggable like `minhash` above. */
+  private def lshBandPairs(sig: DataFrame,
+      bandHash: (Column, Column) => Column): DataFrame = {
+    val banded = sig.select(col("doc_id"),
+      array((0 until MinhashK / 2).map(b =>
+        struct(lit(b).as("band"),
+          bandHash(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bh"))): _*)
+        .as("bands"))
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    banded
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("d1"), b.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy(col("d1"), col("d2"))
   }
 
   private val q23 = QueryDef("q23_minhash_signature",
@@ -449,30 +479,8 @@ object Queries {
 
   // LSH banding: 4 bands × 2 rows; candidate pairs share ≥1 band
   private val q24 = QueryDef("q24_minhash_lsh_pairs",
-    (s, d) => {
-      val sig = signatureDF(s, d)
-      val banded = sig.select(col("doc_id"),
-        array((0 until MinhashK / 2).map(b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*)
-          .as("bands"))
-        .select(col("doc_id"), explode(col("bands")).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      // one shuffle instead of a self-join (which would recompute the
-      // md5 signature on both sides): group docs per (band, bucket),
-      // emit intra-bucket pairs with a nested-transform HOF, count
-      // shared bands per pair
-      banded
-        .groupBy(col("band"), col("bh"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(flatten(transform(col("ids"), (a, i) =>
-          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-            struct(a.as("d1"), b.as("d2")))))).as("p"))
-        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .agg(count(lit(1)).as("n_bands"))
-        .orderBy(col("d1"), col("d2"))
-    },
+    (s, d) => lshBandPairs(signatureDF(s, d),
+      (a, b) => md5(concat_ws("_", a, b))),
     Some(s"""WITH tt AS (
                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
                FROM documents),
@@ -632,27 +640,52 @@ object Queries {
     },
     None)
 
+  /** Stopword profiles for the q30 language-id heuristic. */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "los", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  // stopword-profile language id: distinct-stopword overlap per
+  // profile, argmax with the larger language code winning ties
+  // (greatest over (score, lang) structs). Deterministic and
+  // SQL-expressible → oracled.
   private val q30 = QueryDef("q30_lang_id",
     (s, d) => {
-      // n-gram/stopword-profile heuristic language id (rows-only:
-      // the heuristic itself is engine-defined)
-      val profiles = Map(
-        "en" -> Seq("the", "and", "of", "to", "a"),
-        "de" -> Seq("der", "die", "und", "das", "ist"),
-        "fr" -> Seq("le", "la", "et", "les", "des"),
-        "es" -> Seq("el", "la", "los", "de", "que"))
-      val tk = toks(col("text"))
-      val scores = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val tk = array_distinct(toks(col("text")))
+      val scores = LangProfiles.map { case (lang, words) =>
         struct(size(array_intersect(tk, lit(words.toArray))).as("score"),
           lit(lang).as("lang"))
       }
       t(s, d, "documents")
         .select(col("doc_id"), col("lang").as("lang_actual"),
-          greatest(scores: _*).getField("lang").as("lang_pred"),
-          greatest(scores: _*).getField("score").as("score"))
+          greatest(scores: _*).as("g"))
+        .select(col("doc_id"), col("lang_actual"),
+          col("g.lang").as("lang_pred"), col("g.score").as("score"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some {
+      def litList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      val prof = LangProfiles.toMap
+      s"""SELECT doc_id, lang_actual,
+            CASE WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                 WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                 WHEN s_en >= s_de THEN 'en'
+                 ELSE 'de' END AS lang_pred,
+            CAST(greatest(s_de, s_en, s_es, s_fr) AS INT) AS score
+          FROM (
+            SELECT doc_id, lang AS lang_actual,
+              len(list_distinct(list_intersect(tk, ${litList(prof("en"))}))) AS s_en,
+              len(list_distinct(list_intersect(tk, ${litList(prof("de"))}))) AS s_de,
+              len(list_distinct(list_intersect(tk, ${litList(prof("fr"))}))) AS s_fr,
+              len(list_distinct(list_intersect(tk, ${litList(prof("es"))}))) AS s_es
+            FROM (
+              SELECT doc_id, lang,
+                list_distinct(string_split_regex(trim(text), '\\s+')) AS tk
+              FROM documents))
+          ORDER BY doc_id"""
+    })
 
   /** Deterministic pseudo-random hyperplanes shared by q31/q34 — fixed
     * literals, so the LSH signature is SQL-expressible in the oracle. */
@@ -927,6 +960,18 @@ object Queries {
               round(max(l_extendedprice), 2) AS hi
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  // the PRODUCTION minhash: same shingling/banding as q23/q24 with
+  // codegen'd xxhash64 instead of md5 (the md5 exists only for DuckDB
+  // oracle parity — 8 hex digests per shingle; xxhash64 is one long).
+  // Engine-defined hash → rows-only; correctness of the banding shape
+  // is carried by the oracled md5 twin.
+  private val q43 = QueryDef("q43_minhash_xxhash_pairs",
+    (s, d) => lshBandPairs(
+      signatureDFWith(s, d, (sh, i) =>
+        array_min(transform(sh, x => xxhash64(lit(i), x)))),
+      (a, b) => xxhash64(a, b)),
+    None)
+
   // the SCALE path next to exact q40: approx_percentile keeps a bounded
   // sketch per group instead of buffering every value (exact percentile
   // is a per-task OOM at 10^8 values/group). Approximate by design →
@@ -963,5 +1008,5 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 }

@@ -19,10 +19,12 @@ object Skew {
 
   /** Scatter rows uniformly (salted repartition): mega-documents land
     * on random-but-deterministic partitions instead of hashing by a
-    * hot key. Narrow input → one round-robin-ish shuffle keyed by a
-    * per-row deterministic salt. */
+    * hot key. Narrow input → one shuffle keyed by a per-row
+    * deterministic hash. (Repartition on the RAW hash — pre-bucketing
+    * with pmod would make the partitioner re-hash only `partitions`
+    * distinct values, colliding several buckets onto one partition.) */
   def scatter(df: DataFrame, partitions: Int, saltFrom: Column): DataFrame =
-    df.repartition(partitions, pmod(xxhash64(saltFrom), lit(partitions)))
+    df.repartition(partitions, xxhash64(saltFrom))
 
   /** Skew-safe equi-join: the big (skewed) side gets a deterministic
     * salt in [0, salts); the small side is exploded `salts`× so every
