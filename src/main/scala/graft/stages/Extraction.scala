@@ -253,10 +253,14 @@ object Extraction {
   def report(processed: Dataset[ProcessedDoc]): EstimationReport = {
     val spark = processed.sparkSession
     import spark.implicits._
+    // decimal sum: exact and associative, so the mean is independent of
+    // partition/merge order (a plain double sum could drift an ulp vs
+    // the reference's sequential Python sum on adversarial ratios)
     val agg = processed
       .select($"hit_ratio")
       .agg(
-        sum(when($"hit_ratio" =!= Estimation.MissingRatio, $"hit_ratio")).as("s"),
+        sum(when($"hit_ratio" =!= Estimation.MissingRatio,
+          $"hit_ratio".cast("decimal(28,10)"))).as("s"),
         count(when($"hit_ratio" =!= Estimation.MissingRatio, lit(1))).as("nv"),
         count(when($"hit_ratio" === Estimation.MissingRatio, lit(1))).as("ni"),
         count(lit(1)).as("n"),
@@ -269,7 +273,8 @@ object Extraction {
     val nv = agg.getAs[Long]("nv")
     val mean =
       if (nv == 0) 0.0
-      else TextRules.pyRound(agg.getAs[Double]("s") / nv, 3)
+      else TextRules.pyRound(
+        agg.getAs[java.math.BigDecimal]("s").doubleValue() / nv, 3)
     EstimationReport(mean,
       agg.getAs[Long]("b1"), agg.getAs[Long]("b2"), agg.getAs[Long]("b3"),
       agg.getAs[Long]("b4"), agg.getAs[Long]("b5"),
