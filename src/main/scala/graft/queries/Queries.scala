@@ -1003,10 +1003,101 @@ object Queries {
               length(p_name) AS name_len
             FROM part ORDER BY p_partkey"""))
 
+  // multi-probe hyperplane ANN: probe the query's bucket plus every
+  // neighbor within Hamming distance 2 (flip ≤2 hyperplane signs; 79
+  // buckets of 4096) — the standard recall booster that keeps LSH
+  // usable at low bucket occupancy without widening to all-pairs.
+  // Deterministic planes → oracled.
+  private lazy val ProbeMasks: Seq[Long] =
+    0L +: ((0 until AnnPlanes).map(p => 1L << p) ++
+      (for (i <- 0 until AnnPlanes; j <- i + 1 until AnnPlanes)
+        yield (1L << i) | (1L << j)))
+  private val q44 = QueryDef("q44_ann_multiprobe",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("bucket", annBucketCol(col("e")))
+      val masks = ProbeMasks
+      val probes = emb.filter(col("vec_id") === 0)
+        .select(explode(array(masks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+        .distinct()
+      val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      emb.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", round(cosineCol(col("e"), col("qe")), 3) + lit(0.0))
+        .orderBy(desc("cos"), col("vec_id"))
+        .select(col("vec_id"), col("bucket"), col("cos"))
+        .limit(5)
+    },
+    Some(s"""WITH b AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 CAST($annBucketSql AS BIGINT) AS bucket
+               FROM embeddings),
+             probes AS (
+               SELECT DISTINCT xor(bucket, m.m) AS bucket
+               FROM b, (SELECT unnest([${ProbeMasks
+                 .mkString("CAST(", " AS BIGINT), CAST(", " AS BIGINT)")}]) AS m) m
+               WHERE vec_id = 0),
+             q AS (SELECT e AS qe FROM b WHERE vec_id = 0)
+             SELECT vec_id, bucket, cos FROM (
+               SELECT b.vec_id, b.bucket,
+                 round(list_dot_product(b.e, qe) /
+                   (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(qe, qe))), 3)
+                   + 0.0 AS cos,
+                 row_number() OVER (ORDER BY
+                   round(list_dot_product(b.e, qe) /
+                     (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(qe, qe))), 3)
+                     DESC, b.vec_id) AS rk
+               FROM b JOIN probes USING (bucket), q
+               WHERE b.vec_id <> 0) WHERE rk <= 5
+             ORDER BY cos DESC, vec_id"""))
+
+  /** Stopword list for the q45 quality signals (subset of the German
+    * function-word lexicon — fixed, engine-defined). */
+  private val QualityStopwords = Seq("der", "die", "und", "das", "ist",
+    "the", "and", "of", "le", "la", "el", "de")
+
+  // text-quality signal battery (training-data curation: length,
+  // token shape, stopword density, digit density) — all deterministic
+  // column math → oracled
+  private val q45 = QueryDef("q45_quality_signals",
+    (s, d) => {
+      val tk = toks(col("text"))
+      val swLit = lit(QualityStopwords.toArray)
+      t(s, d, "documents")
+        .select(col("doc_id"), tk.as("tk"), length(col("text")).as("len"))
+        .select(col("doc_id"), col("len"),
+          size(col("tk")).as("n_tokens"),
+          (round(aggregate(col("tk"), lit(0), (acc, x) => acc + length(x))
+            .cast("double") / size(col("tk")), 3) + lit(0.0)).as("mean_tok_len"),
+          (round(size(filter(col("tk"), x => array_contains(swLit, x)))
+            .cast("double") / size(col("tk")), 3) + lit(0.0)).as("stopword_ratio"),
+          (round(size(filter(col("tk"), x => x.rlike("[0-9]")))
+            .cast("double") / size(col("tk")), 3) + lit(0.0)).as("digit_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, len, n_tokens,
+              round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                / n_tokens, 3) + 0.0 AS mean_tok_len,
+              round(CAST(len(list_filter(tk, x -> list_contains(
+                [${QualityStopwords.map(w => s"'$w'").mkString(", ")}], x))) AS DOUBLE)
+                / n_tokens, 3) + 0.0 AS stopword_ratio,
+              round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[0-9]'))) AS DOUBLE)
+                / n_tokens, 3) + 0.0 AS digit_ratio
+            FROM (
+              SELECT doc_id, length(text) AS len,
+                string_split_regex(trim(text), '\\s+') AS tk,
+                len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+              FROM documents)
+            ORDER BY doc_id"""))
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
+    q44, q45)
 }
