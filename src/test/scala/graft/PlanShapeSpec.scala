@@ -51,6 +51,30 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
 
+  test("bucketed tables co-locate the join (no Exchange on either side)") {
+    import spark.implicits._
+    spark.range(10000).select($"id".as("k"), ($"id" * 2).as("a"))
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("graft_bucket_left")
+    spark.range(10000).select($"id".as("k"), ($"id" + 7).as("b"))
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("graft_bucket_right")
+    try {
+      // disable broadcast so the join would otherwise need a shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bucket_left")
+        .join(spark.table("graft_bucket_right"), "k")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_left")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_right")
+    }
+  }
+
   test("whole-stage codegen wraps the relational aggregate (q01)") {
     val df = graft.queries.Queries.all.find(_.name == "q01_agg").get
       .fn(spark, "/root/testdata/sf0.001")
