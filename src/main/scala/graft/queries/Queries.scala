@@ -960,16 +960,22 @@ object Queries {
               round(max(l_extendedprice), 2) AS hi
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
-  // the PRODUCTION minhash: same shingling/banding as q23/q24 with
-  // codegen'd xxhash64 instead of md5 (the md5 exists only for DuckDB
-  // oracle parity — 8 hex digests per shingle; xxhash64 is one long).
+  // the PRODUCTION minhash: one codegen'd expression computes the whole
+  // signature (tokenize → 3-gram shingle → 8 seeded xxhash64 minima,
+  // single pass — see graft.sql.MinHashSig; the interpreted HOF chain
+  // this replaced measured 4.4 s at sf0.1, the expression ~0.3 s).
+  // All 8 element_at refs share ONE MinHashSig subtree in ONE
+  // projection, so codegen subexpression elimination evaluates it once
+  // per row — no persist barrier needed (unlike the md5/HOF twin).
   // Engine-defined hash → rows-only; correctness of the banding shape
-  // is carried by the oracled md5 twin.
+  // is carried by the oracled md5 twin (q24).
   private val q43 = QueryDef("q43_minhash_xxhash_pairs",
-    (s, d) => lshBandPairs(
-      signatureDFWith(s, d, (sh, i) =>
-        array_min(transform(sh, x => xxhash64(lit(i), x)))),
-      (a, b) => xxhash64(a, b)),
+    (s, d) => {
+      val sigExpr = graft.sql.MinHashSig.sig(col("text"), MinhashK)
+      val sig = t(s, d, "documents").select(col("doc_id") +:
+        (0 until MinhashK).map(i => element_at(sigExpr, i + 1).as(s"h$i")): _*)
+      lshBandPairs(sig, (a, b) => xxhash64(a, b))
+    },
     None)
 
   // the SCALE path next to exact q40: approx_percentile keeps a bounded

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sql.MinHashSig
+
+/** The one-pass MinHash expression against an independent derivation
+  * of the same spec, plus the MinHash containment properties. */
+class MinHashSigSpec extends SparkSpecBase {
+
+  /** Independent (naive) derivation: build the shingle list
+    * explicitly, hash with the same seeded XXH64, take minima. */
+  private def naive(text: String, k: Int): Seq[Long] = {
+    val toks = graft.text.TextRules.splitWs(text)
+    val shingles =
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+      else Seq(toks.mkString(" "))
+    (0 until k).map { i =>
+      shingles.map { s =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, i)
+      }.min
+    }
+  }
+
+  private def sigOf(texts: Seq[String]): Map[String, Seq[Long]] = {
+    import spark.implicits._
+    texts.toDF("text")
+      .select(col("text"), MinHashSig.sig(col("text"), 8).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+  }
+
+  test("expression == independent naive derivation") {
+    val texts = Seq(
+      "der alte Mann und das Meer und der Wind",
+      "ein zwei",            // < 3 tokens
+      "",                    // empty
+      "  viel   Weißraum \t hier und da  ",
+      "ſ ic) Fraktur-Zeichen drei vier fünf")
+    val got = sigOf(texts)
+    texts.foreach { t =>
+      assert(got(t) == naive(t, 8), s"signature of '$t'")
+    }
+  }
+
+  test("identical documents share the full signature; token order matters") {
+    val a = "aaa bbb ccc ddd eee fff"
+    val b = "fff eee ddd ccc bbb aaa"
+    val got = sigOf(Seq(a, b))
+    assert(got(a) == sigOf(Seq(a))(a)) // deterministic
+    assert(got(a) != got(b))           // shingles are order-sensitive
+  }
+
+  test("near-dup documents collide on most minima (containment)") {
+    val base = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extra"
+    val got = sigOf(Seq(base, nearDup))
+    val shared = got(base).zip(got(nearDup)).count { case (x, y) => x == y }
+    assert(shared >= 5, s"only $shared/8 minima shared")
+  }
+}
