@@ -405,18 +405,9 @@ object Queries {
     * DuckDB oracle computes identical signatures). Shingles are word
     * 3-grams of the token sequence. */
   private val MinhashK = 8
-  private def shinglesCol(c: Column): Column = {
-    val tk = toks(c)
-    when(size(tk) >= 3,
-      array_distinct(transform(sequence(lit(1), size(tk) - 2),
-        i => concat_ws(" ", slice(tk, i, lit(3))))))
-      .otherwise(array_distinct(array(array_join(tk, " "))))
-  }
   // minhash value = lexicographic MIN of the md5 hex digests — avoids
   // a per-shingle hex→int conversion entirely; both engines order hex
   // strings identically
-  private def minhashCol(sh: Column, i: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(s"$i:"), x))))
   private def minhashSqlExpr(i: Int): String =
     s"list_min(list_transform(sh, x -> md5(CONCAT('$i:', x))))"
   private val shingleSql =
@@ -424,30 +415,33 @@ object Queries {
          range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
        ELSE list_distinct([array_to_string(tk, ' ')]) END"""
 
-  /** Shingle set + minhash signature, with the shingle column CACHED:
-    * without the barrier, CollapseProject inlines the shingling into
-    * each of the 8 hash computations (8× recompute) and again into
-    * every band hash downstream — measured 6× slowdown at sf0.1.
-    * `minhash` is pluggable: md5 for the DuckDB-oracled twin,
-    * xxhash64 for the production-scale variant. */
-  private def signatureDFWith(s: SparkSession, d: String,
-      minhash: (Column, Int) => Column): DataFrame = {
-    val sh = t(s, d, "documents")
-      .select(col("doc_id"), shinglesCol(col("text")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.select(col("doc_id") +:
-      (0 until MinhashK).map(i => minhash(col("sh"), i).as(s"h$i")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** The md5-hex minhash signature via the one-pass codegen'd
+    * expression ([[graft.sql.Md5MinHash]]) — bit-identical to the HOF
+    * composition it replaced (pinned by MinHashSigSpec) and to the
+    * DuckDB oracle, ~5× faster. In this flat projection the 8
+    * element_at refs share ONE subtree and whole-stage codegen's
+    * subexpression elimination evaluates it once per row; downstream
+    * consumers that leave codegen (Generate) need a barrier — see
+    * lshBandPairs. */
+  private def signatureDF(s: SparkSession, d: String): DataFrame = {
+    val sigExpr = graft.sql.Md5MinHash.sig(col("text"), MinhashK)
+    t(s, d, "documents").select(col("doc_id") +:
+      (0 until MinhashK).map(i => element_at(sigExpr, i + 1).as(s"h$i")): _*)
   }
-  private def signatureDF(s: SparkSession, d: String): DataFrame =
-    signatureDFWith(s, d, minhashCol)
 
   /** LSH banding over a signature table (h0..h{K-1}): bucket docs per
     * (band, band-hash), expand intra-bucket pairs with a nested
     * transform (ONE shuffle — no self-join recompute), count shared
-    * bands per pair. `bandHash` is pluggable like `minhash` above. */
-  private def lshBandPairs(sig: DataFrame,
+    * bands per pair. `bandHash` is pluggable.
+    *
+    * The persist is a CollapseProject barrier: the band projection
+    * references h0..h7 and feeds a Generate (explode), where codegen
+    * subexpression elimination does NOT apply — without the barrier
+    * the signature expression is re-evaluated once per referenced
+    * column (measured 4.5 s vs 1.1 s for the md5 signature at sf0.1). */
+  private def lshBandPairs(sigDf: DataFrame,
       bandHash: (Column, Column) => Column): DataFrame = {
+    val sig = sigDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("doc_id"),
       array((0 until MinhashK / 2).map(b =>
         struct(lit(b).as("band"),
@@ -963,12 +957,9 @@ object Queries {
   // the PRODUCTION minhash: one codegen'd expression computes the whole
   // signature (tokenize → 3-gram shingle → 8 seeded xxhash64 minima,
   // single pass — see graft.sql.MinHashSig; the interpreted HOF chain
-  // this replaced measured 4.4 s at sf0.1, the expression ~0.3 s).
-  // All 8 element_at refs share ONE MinHashSig subtree in ONE
-  // projection, so codegen subexpression elimination evaluates it once
-  // per row — no persist barrier needed (unlike the md5/HOF twin).
-  // Engine-defined hash → rows-only; correctness of the banding shape
-  // is carried by the oracled md5 twin (q24).
+  // this replaced measured 4.4 s at sf0.1). The banding barrier lives
+  // in lshBandPairs. Engine-defined hash → rows-only; correctness of
+  // the banding shape is carried by the oracled md5 twin (q24).
   private val q43 = QueryDef("q43_minhash_xxhash_pairs",
     (s, d) => {
       val sigExpr = graft.sql.MinHashSig.sig(col("text"), MinhashK)

@@ -44,6 +44,28 @@ class MinHashSigSpec extends SparkSpecBase {
     }
   }
 
+  test("Md5MinHash expression == the built-in HOF md5 composition (oracle parity)") {
+    import spark.implicits._
+    val texts = Seq(
+      "der alte Mann und das Meer und der Wind",
+      "ein zwei", "", "  viel   Weißraum \t hier  ",
+      "a b c d e f g h i j k l m n")
+    val df = texts.toDF("text")
+    // independent HOF reconstruction of the signature semantics
+    val tk = split(trim(col("text")), "\\s+")
+    val sh = when(size(tk) >= 3,
+      array_distinct(transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", slice(tk, i, lit(3))))))
+      .otherwise(array(array_join(tk, " ")))
+    val hof = df.select(col("text") +: (0 until 8).map(i =>
+      array_min(transform(sh, x => md5(concat(lit(s"$i:"), x)))).as(s"h$i")): _*)
+      .collect().map(r => r.getString(0) -> (1 to 8).map(r.getString)).toMap
+    val expr = df.select(col("text"),
+      graft.sql.Md5MinHash.sig(col("text"), 8).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    texts.foreach(t => assert(expr(t) == hof(t).toSeq, s"md5 signature of '$t'"))
+  }
+
   test("identical documents share the full signature; token order matters") {
     val a = "aaa bbb ccc ddd eee fff"
     val b = "fff eee ddd ccc bbb aaa"
