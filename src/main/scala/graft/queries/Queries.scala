@@ -490,25 +490,13 @@ object Queries {
                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
              GROUP BY 1, 2 ORDER BY d1, d2"""))
 
-  // SimHash (16-bit, md5-based bit votes over distinct tokens)
+  // SimHash (16-bit, md5-based bit votes over distinct tokens) — ONE
+  // codegen'd expression (graft.sql.SimHash16), bit-identical to the
+  // HOF chain it replaced (pinned by MinHashSigSpec); oracle untouched
   private val q25 = QueryDef("q25_simhash",
-    (s, d) => {
-      // hash each distinct token ONCE into a cached array; the 16
-      // bit-votes then fold over cheap longs instead of re-running
-      // md5 per bit (CollapseProject would inline it 16×)
-      val hs = t(s, d, "documents")
-        .select(col("doc_id"),
-          transform(array_distinct(toks(col("text"))),
-            x => conv(substring(md5(x), 1, 4), 16, 10).cast("long")).as("hs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bits = (0 until 16).map { j =>
-        val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
-          acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        when(vote > 0, lit(1L << j)).otherwise(0L)
-      }
-      hs.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), graft.sql.SimHash16.sim(col("text")).as("simhash"))
+      .orderBy(col("doc_id")),
     Some {
       val bitSql = (0 until 16).map { j =>
         s"""CASE WHEN list_sum(list_transform(tk, x ->

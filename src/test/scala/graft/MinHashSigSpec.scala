@@ -66,6 +66,27 @@ class MinHashSigSpec extends SparkSpecBase {
     texts.foreach(t => assert(expr(t) == hof(t).toSeq, s"md5 signature of '$t'"))
   }
 
+  test("SimHash16 expression == the built-in HOF bit-vote composition") {
+    import spark.implicits._
+    val texts = Seq(
+      "der alte Mann und das Meer und der Wind der",
+      "ein", "", "ſ ic) Zeichen drei vier",
+      (0 until 200).map(i => s"w$i").mkString(" "))
+    val df = texts.toDF("text")
+    val hs = transform(array_distinct(split(trim(col("text")), "\\s+")),
+      x => conv(substring(md5(x), 1, 4), 16, 10).cast("long"))
+    val bits = (0 until 16).map { j =>
+      when(aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << j)).otherwise(0L)
+    }
+    val hof = df.select(col("text"), bits.reduce(_ + _).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expr = df.select(col("text"), graft.sql.SimHash16.sim(col("text")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    texts.foreach(t => assert(expr(t) == hof(t), s"simhash of '$t'"))
+  }
+
   test("identical documents share the full signature; token order matters") {
     val a = "aaa bbb ccc ddd eee fff"
     val b = "fff eee ddd ccc bbb aaa"
