@@ -26,6 +26,13 @@ object ExtractMain {
     val outRoot = args(1)
     val nParts = if (args.length > 2) args(2).toInt else 8
     val backup = sys.env.get("SPARK_GRAFT_BACKUP").contains("1")
+    // E1: an ini pipeline definition (the reference's own config file
+    // format) drives the stage chain when provided
+    val cfg = sys.env.get("SPARK_GRAFT_CONFIG").map { p =>
+      PipelineConfig.toExtractConfig(PipelineConfig.steps(
+        PipelineConfig.parseIni(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(p)))))
+    }.getOrElse(ExtractConfig())
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,14 +43,13 @@ object ExtractMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, inPath, outRoot, nParts, backup)
+    run(spark, inPath, outRoot, nParts, backup, cfg)
     spark.stop()
   }
 
   def run(spark: SparkSession, inPath: String, outRoot: String, nParts: Int,
-      backup: Boolean = false): Unit = {
+      backup: Boolean = false, cfg: ExtractConfig = ExtractConfig()): Unit = {
     import spark.implicits._
-    val cfg = ExtractConfig()
     val ckpt = new Checkpoint(spark, outRoot)
     val docs = spark.read.parquet(inPath)
       .withColumn("part", pmod(xxhash64(col("doc_id")), lit(nParts)).cast("int"))

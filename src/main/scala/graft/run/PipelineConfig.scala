@@ -141,6 +141,14 @@ object PipelineConfig {
           throw new IllegalArgumentException(s"section $sec has no type")), m)
       }
 
+  /** XML entity decode for config-borne replacement keys: the
+    * reference's dicts target SERIALIZED ALTO lines (where `<` appears
+    * as `&lt;`, conf/ocr_config.ini:24); the engine's span text is
+    * unescaped, so the equivalent key is the decoded character. */
+  private def xmlUnescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+
   /** Fold the configured steps into the engine's ExtractConfig — the
     * "ordered named steps" semantics of the reference with stages
     * mapped to their Spark twins. */
@@ -149,7 +157,8 @@ object PipelineConfig {
       sc.typ match {
         case "StepTesseract" => cfg // external black box: input table IS its output
         case "StepPostReplaceChars" =>
-          cfg.copy(replaceDict = parseDict(sc.params.getOrElse("dict_chars", "{}")))
+          cfg.copy(replaceDict = parseDict(sc.params.getOrElse("dict_chars", "{}"))
+            .map { case (k, v) => xmlUnescape(k) -> xmlUnescape(v) })
         case "StepPostReplaceCharsRegex" =>
           cfg.copy(regexRule = Some(RegexRule(
             unquote(sc.params("pattern")),

@@ -70,6 +70,27 @@ class IngestAndSinksSpec extends SparkSpecBase {
       Seq((10, 20), (110, 20), (110, 50), (10, 50)))))
   }
 
+  test("E1: the reference's own ini config drives ExtractMain end-to-end") {
+    import spark.implicits._
+    import graft.run.PipelineConfig
+    val iniPath = Paths.get("/root/reference/tests/resources/ocr_config_full.ini")
+    assume(Files.isReadable(iniPath))
+    val cfg = PipelineConfig.toExtractConfig(PipelineConfig.steps(
+      PipelineConfig.parseIni(Files.readString(iniPath))))
+    assert(cfg.replaceDict.nonEmpty && cfg.regexRule.nonEmpty)
+    val tmp = Files.createTempDirectory("graft-ini").toString
+    val docs = Seq(Doc("d1", Seq(
+      Span(Span.KindText, "das s<öne", "line://b/l0", 0),
+      Span(Span.KindText, "ic)", "line://b/l0", 1))))
+    docs.toDF().write.mode("overwrite").parquet(s"$tmp/in")
+    ExtractMain.run(spark, s"$tmp/in", s"$tmp/out", nParts = 1, backup = false, cfg = cfg)
+    val out = spark.read.parquet(s"$tmp/out/data/p_*")
+      .as[graft.stages.ProcessedDoc].collect().head
+    // the ini's ordered dict (ic)→ich, s<→sc, <→c after entity decode)
+    assert(out.spans.map(_.text) == Seq("das scöne", "ich"))
+    assert(out.repl_stats.keySet == Set("ic)", "s<"))
+  }
+
   test("S7: backup sink preserves the pre-image of each partition") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-backup").toString
