@@ -83,6 +83,20 @@ object Media {
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_no"))
   }
 
+  /** Resize planning: aspect-preserving target dimensions for a batch
+    * of decoded media, longest side clamped to `maxSide` (never
+    * upscaled), even-pixel aligned (codec-friendly). Pure Catalyst —
+    * the byte-level resample is codec work behind [[MediaDecoder]];
+    * this computes the exact (dst_w, dst_h) plan a vision preprocessor
+    * consumes. */
+  def resizePlan(meta: Dataset[MediaMeta], maxSide: Int): DataFrame = {
+    val scale = least(lit(1.0), lit(maxSide.toDouble) / greatest(col("width"), col("height")))
+    def even(c: org.apache.spark.sql.Column) =
+      greatest(lit(2), (floor(c * scale / 2) * 2).cast("int"))
+    meta.toDF().select(col("media_ref"), col("width"), col("height"),
+      even(col("width")).as("dst_w"), even(col("height")).as("dst_h"))
+  }
+
   /** Deterministic synthetic media table derived from span-table media
     * refs (for tests/bench: content bytes are a seeded function of the
     * ref). */

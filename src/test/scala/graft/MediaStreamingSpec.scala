@@ -26,6 +26,20 @@ class MediaStreamingSpec extends SparkSpecBase {
     // video payloads produce frame samples
     val frames = Media.sampleFrames(Media.decodeMeta(media), everyN = 10)
     assert(frames.count() > 0)
+    // resize plan: aspect preserved (within even-alignment), longest
+    // side <= 512, never upscaled
+    val plan = Media.resizePlan(Media.decodeMeta(media), maxSide = 512).collect()
+    assert(plan.length == 100)
+    plan.foreach { r =>
+      val (w, h, dw, dh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(dw <= math.max(512, 2) && dh <= 512 || (w <= 512 && h <= 512))
+      assert(dw <= w && dh <= h, s"upscaled: $r")
+      assert(dw % 2 == 0 && dh % 2 == 0)
+      if (w > 512 || h > 512) {
+        val src = w.toDouble / h
+        assert(math.abs(dw.toDouble / dh - src) / src < 0.1, s"aspect: $r")
+      }
+    }
   }
 
   test("streaming AvailableNow pass == batch pipeline result, incremental pickup") {
