@@ -75,6 +75,18 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("ANN queries broadcast their small sides (q38 IVF, q44 multiprobe)") {
+    for (name <- Seq("q38_ann_ivf", "q44_ann_multiprobe")) {
+      val df = graft.queries.Queries.all.find(_.name == name).get
+        .fn(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"), s"$name: no broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$name: unexpected SMJ:\n$plan")
+    }
+  }
+
   test("whole-stage codegen wraps the relational aggregate (q01)") {
     val df = graft.queries.Queries.all.find(_.name == "q01_agg").get
       .fn(spark, "/root/testdata/sf0.001")
