@@ -1078,11 +1078,80 @@ object Queries {
               FROM documents)
             ORDER BY doc_id"""))
 
+  // benchmark decontamination: flag corpus docs sharing word 3-grams
+  // with a benchmark set (docs 0-4 stand in for the eval set — derived
+  // deterministically from the table itself). The benchmark shingle
+  // set is SMALL by construction → broadcast semi-structure join, one
+  // narrow aggregation; the corpus side never self-joins.
+  private val q46 = QueryDef("q46_decontamination",
+    (s, d) => {
+      val tk = toks(col("text"))
+      val sh = when(size(tk) >= 3,
+        array_distinct(transform(sequence(lit(1), size(tk) - 2),
+          i => concat_ws(" ", slice(tk, i, lit(3))))))
+        .otherwise(array(array_join(tk, " ")))
+      val docsSh = t(s, d, "documents")
+        .select(col("doc_id"), explode(sh).as("s"))
+      val bench = docsSh.filter(col("doc_id") < 5).select(col("s")).distinct()
+      docsSh.filter(col("doc_id") >= 5)
+        .join(broadcast(bench), Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("contaminated", (col("n_shared") >= 3).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+                THEN list_transform(range(1, len(tk) - 1),
+                  i -> array_to_string(tk[i:i+2], ' '))
+                ELSE [array_to_string(tk, ' ')] END) AS s
+              FROM tk),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
+            SELECT a.doc_id, count(DISTINCT a.s) AS n_shared,
+              CAST(count(DISTINCT a.s) >= 3 AS INT) AS contaminated
+            FROM sh a JOIN bench b USING (s)
+            WHERE a.doc_id >= 5
+            GROUP BY a.doc_id ORDER BY a.doc_id"""))
+
+  // PII scrubbing: redact emails and long digit runs, report per-doc
+  // redaction counts and the digest of the scrubbed text. The corpus
+  // has no PII, so deterministic PII is appended from the table itself
+  // — the redaction logic is what's under test, on both engines.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val DigitRunPat = "[0-9]{7,}"
+  private val q47 = QueryDef("q47_pii_scrub",
+    (s, d) => {
+      val pii = concat(col("text"), lit(" contact: user"), col("doc_id"),
+        lit("@mail.example tel "), lpad(col("doc_id").cast("string"), 9, "5"))
+      t(s, d, "documents")
+        .select(col("doc_id"), pii.as("pii"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("pii"), lit(EmailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("pii"), lit(DigitRunPat), lit(0))).as("n_nums"),
+          md5(regexp_replace(regexp_replace(col("pii"), EmailPat, "<EMAIL>"),
+            DigitRunPat, "<NUM>")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+              len(regexp_extract_all(pii, '$EmailPat')) AS n_emails,
+              len(regexp_extract_all(pii, '$DigitRunPat')) AS n_nums,
+              md5(regexp_replace(regexp_replace(pii, '$EmailPat', '<EMAIL>', 'g'),
+                '$DigitRunPat', '<NUM>', 'g')) AS scrubbed_md5
+            FROM (
+              SELECT doc_id, CONCAT(text, ' contact: user',
+                CAST(doc_id AS VARCHAR), '@mail.example tel ',
+                lpad(CAST(doc_id AS VARCHAR), 9, '5')) AS pii
+              FROM documents)
+            ORDER BY doc_id"""))
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45)
+    q44, q45, q46, q47)
 }
