@@ -56,7 +56,13 @@ object IngestXml {
   /** Distributed parse of (doc_id, xml) rows into the C9 geometry side
     * table: one row per line with a shape, joinable to the span table
     * on (doc_id, line_ref). Parse failures contribute no rows here —
-    * they already surface as failure rows in [[parseDocs]]. */
+    * they already surface as failure rows in [[parseDocs]].
+    *
+    * Scale note: the shapes output is OPT-IN and runs as a second scan
+    * over the raw input (two independent sinks need two actions
+    * without a cache); a corpus-scale run that wants both should
+    * persist the parsed XML or derive geometry in the same job via its
+    * own pipeline. */
   def parseShapes(raw: Dataset[(String, String)])
       : Dataset[(String, String, Seq[(Int, Int)])] = {
     import raw.sparkSession.implicits._

@@ -48,6 +48,13 @@ object Md5MinHash {
   private val md5Pool = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
+
+  /** "i:" seed prefixes, built once per k (not per row). */
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]
+  private def prefixesFor(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k,
+      kk => Array.tabulate(kk)(i => s"$i:".getBytes(StandardCharsets.UTF_8)))
   private val hexChars = "0123456789abcdef".toCharArray
 
   /** unsigned byte-order compare (== lexicographic order of the hex). */
@@ -78,7 +85,7 @@ object Md5MinHash {
     val toks = TextRules.splitWs(text.toString)
     val md = md5Pool.get()
     val mins = new Array[Array[Byte]](k)
-    val prefixes = Array.tabulate(k)(i => s"$i:".getBytes(StandardCharsets.UTF_8))
+    val prefixes = prefixesFor(k)
     val sb = new java.lang.StringBuilder(64)
     def hashShingle(): Unit = {
       val shingleBytes = sb.toString.getBytes(StandardCharsets.UTF_8)
