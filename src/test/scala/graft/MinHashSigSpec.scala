@@ -95,6 +95,43 @@ class MinHashSigSpec extends SparkSpecBase {
     assert(got(a) != got(b))           // shingles are order-sensitive
   }
 
+  test("expression == HOF on generator corpus texts (all profiles)") {
+    import spark.implicits._
+    val texts = (0L until 80L).map { i =>
+      val profile = Seq("uniform", "interleaved", "skewed", "edge")((i % 4).toInt)
+      graft.gen.CorpusGen.genDoc(i, profile, 13L, 800)
+        .spans.map(_.text).mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // md5 minhash vs HOF
+    val tk = split(trim(col("text")), "\\s+")
+    val sh = when(size(tk) >= 3,
+      array_distinct(transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", slice(tk, i, lit(3))))))
+      .otherwise(array(array_join(tk, " ")))
+    val hof = df.select(col("id") +: (0 until 8).map(i =>
+      array_min(transform(sh, x => md5(concat(lit(s"$i:"), x)))).as(s"h$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    val expr = df.select(col("id"), graft.sql.Md5MinHash.sig(col("text"), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // simhash vs HOF
+    val hs = transform(array_distinct(tk),
+      x => conv(substring(md5(x), 1, 4), 16, 10).cast("long"))
+    val simBits = (0 until 16).map { j =>
+      when(aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << j)).otherwise(0L)
+    }
+    val simHof = df.select(col("id"), simBits.reduce(_ + _).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simExpr = df.select(col("id"), graft.sql.SimHash16.sim(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 80L).foreach { i =>
+      assert(expr(i) == hof(i), s"md5 minhash of doc $i")
+      assert(simExpr(i) == simHof(i), s"simhash of doc $i")
+    }
+  }
+
   test("near-dup documents collide on most minima (containment)") {
     val base = (0 until 50).map(i => s"tok$i").mkString(" ")
     val nearDup = base + " extra"
