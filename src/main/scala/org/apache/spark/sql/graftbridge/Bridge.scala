@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** A sibling SparkSession on the same SparkContext with the given
+    * extensions applied — Spark only applies extensions at session
+    * construction, and `getOrCreate` returns the existing session, so
+    * tests (and embedders that join a live context) need this hook. */
+  def sessionWithExtensions(
+      sc: org.apache.spark.SparkContext,
+      configure: org.apache.spark.sql.SparkSessionExtensions => Unit): SparkSession =
+    org.apache.spark.sql.classic.GraftSessionShim.withExtensions(sc, configure)
 }
