@@ -7,16 +7,33 @@ import org.apache.spark.sql.SparkSession
   * two cluster sizes"). The master (e.g. `local-cluster[1,4,8192]` vs
   * `local-cluster[4,4,8192]` — real executor JVMs) comes from
   * spark-submit; this main just reads the pre-generated span corpus,
-  * runs the extraction pipeline (warmup + best-of-2), and prints one
-  * JSON line.
+  * runs the selected job (warmup + best-of-4), and prints one JSON
+  * line.
+  *
+  * Jobs: `extract` (default — the zero-shuffle per-doc pipeline) and
+  * `dedup` (xxhash minhash + LSH band pairs over the docs' joined
+  * text — the SHUFFLE-bearing dedup shape, so its scaling efficiency
+  * is measured separately from the narrow path).
   *
   * Usage: spark-submit --master local-cluster[E,C,M] \
-  *          --class graft.ClusterBench <jar> <spansParquet> <label>
+  *          --class graft.ClusterBench <jar> <spansParquet> <label> [job]
   */
 object ClusterBench {
+
+  private def dedupJob(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val text = concat_ws(" ", transform(col("spans"), s => s.getField("text")))
+    graft.dedup.MinHashLsh.bandPairs(
+      graft.dedup.MinHashLsh.xxhashSignature(
+        docs.select(col("doc_id"), text.as("text")), "doc_id", "text", 8),
+      8, 2, (a, b) => xxhash64(a, b))
+  }
+
   def main(args: Array[String]): Unit = {
     val spansPath = args(0)
     val label = if (args.length > 1) args(1) else "run"
+    val job = if (args.length > 2) args(2) else "extract"
     val spark = SparkSession.builder()
       .appName(s"graft-cluster-bench-$label")
       .config("spark.sql.adaptive.enabled", "true")
@@ -28,14 +45,20 @@ object ClusterBench {
 
     val docs = spark.read.parquet(spansPath)
     val n = docs.count()
-    Bench.force(graft.stages.Extraction.pipeline(docs).toDF()) // warmup
+    def runJob(): Unit = {
+      job match {
+        case "extract" => Bench.force(graft.stages.Extraction.pipeline(docs).toDF())
+        case "dedup"   => Bench.force(dedupJob(docs)); spark.catalog.clearCache()
+        case other     => throw new IllegalArgumentException(s"unknown job '$other'")
+      }
+    }
+    runJob() // warmup
     // executors are registered by now (post-warmup)
     val execs = spark.sparkContext.getExecutorMemoryStatus.size - 1
     val cores = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.shuffle.partitions", math.max(cores, 2).toString)
-    val sec = (1 to 4).map(_ =>
-      Bench.time(Bench.force(graft.stages.Extraction.pipeline(docs).toDF()))).min
-    println(f"""{"metric":"cluster-bench","label":"$label","executors":$execs,"cores":$cores,"n_docs":$n,"sec":$sec%.3f,"docs_per_sec":${n / sec}%.1f}""")
+    val sec = (1 to 4).map(_ => Bench.time(runJob())).min
+    println(f"""{"metric":"cluster-bench","label":"$label","job":"$job","executors":$execs,"cores":$cores,"n_docs":$n,"sec":$sec%.3f,"docs_per_sec":${n / sec}%.1f}""")
     spark.stop()
   }
 }

@@ -1,0 +1,77 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash/LSH near-duplicate detection as a library API — the
+  * 100 TB dedup shape: signature (narrow, codegen'd) → band buckets →
+  * ONE shuffle → intra-bucket pair expansion. No self-join; pair count
+  * is bounded by bucket occupancy, not corpus size.
+  *
+  * Two signature flavors share the banding:
+  *  - [[xxhashSignature]] — production (one long per hash,
+  *    [[graft.sql.MinHashSig]]);
+  *  - [[md5Signature]] — cross-engine-verifiable hex digests
+  *    ([[graft.sql.Md5MinHash]], bit-equal to a DuckDB oracle).
+  */
+object MinHashLsh {
+
+  /** h0..h{k-1} long minhashes per row of `docs(idCol, textCol)`. */
+  def xxhashSignature(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val sigExpr = graft.sql.MinHashSig.sig(col(textCol), k)
+    docs.select(col(idCol).as("doc_id") +:
+      (0 until k).map(i => element_at(sigExpr, i + 1).as(s"h$i")): _*)
+  }
+
+  /** h0..h{k-1} md5-hex minhashes (lexicographic minima). */
+  def md5Signature(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val sigExpr = graft.sql.Md5MinHash.sig(col(textCol), k)
+    docs.select(col(idCol).as("doc_id") +:
+      (0 until k).map(i => element_at(sigExpr, i + 1).as(s"h$i")): _*)
+  }
+
+  /** Candidate pairs sharing ≥1 of `k/rowsPerBand` bands: bucket docs
+    * per (band, band-hash), expand intra-bucket pairs with a nested
+    * transform, count shared bands per pair. Output:
+    * (d1, d2, n_bands), d1 < d2, ordered.
+    *
+    * The persist is a CollapseProject barrier: the band projection
+    * feeds a Generate (explode), where codegen subexpression
+    * elimination does not apply — without it the signature expression
+    * re-evaluates once per referenced column. Callers should
+    * `spark.catalog.clearCache()` (or unpersist) when done.
+    *
+    * `maxBucket` drops pathological buckets (a band value shared by
+    * thousands of docs carries no near-dup signal and would expand
+    * quadratically — standard stop-fingerprint hygiene; 0 = unbounded).
+    */
+  def bandPairs(sigDf: DataFrame, k: Int, rowsPerBand: Int,
+      bandHash: (Column, Column) => Column, maxBucket: Int = 10000): DataFrame = {
+    require(rowsPerBand == 2, "current banding packs 2 rows per band")
+    val sig = sigDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBands = k / rowsPerBand
+    val banded = sig.select(col("doc_id"),
+      array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          bandHash(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bh"))): _*)
+        .as("bands"))
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val bucketed = banded
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val bounded =
+      if (maxBucket > 0) bucketed.filter(size(col("ids")) <= maxBucket)
+      else bucketed
+    bounded
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("d1"), b.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy(col("d1"), col("d2"))
+  }
+}

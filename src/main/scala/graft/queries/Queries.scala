@@ -415,51 +415,12 @@ object Queries {
          range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
        ELSE list_distinct([array_to_string(tk, ' ')]) END"""
 
-  /** The md5-hex minhash signature via the one-pass codegen'd
-    * expression ([[graft.sql.Md5MinHash]]) — bit-identical to the HOF
-    * composition it replaced (pinned by MinHashSigSpec) and to the
-    * DuckDB oracle, ~5× faster. In this flat projection the 8
-    * element_at refs share ONE subtree and whole-stage codegen's
-    * subexpression elimination evaluates it once per row; downstream
-    * consumers that leave codegen (Generate) need a barrier — see
-    * lshBandPairs. */
-  private def signatureDF(s: SparkSession, d: String): DataFrame = {
-    val sigExpr = graft.sql.Md5MinHash.sig(col("text"), MinhashK)
-    t(s, d, "documents").select(col("doc_id") +:
-      (0 until MinhashK).map(i => element_at(sigExpr, i + 1).as(s"h$i")): _*)
-  }
-
-  /** LSH banding over a signature table (h0..h{K-1}): bucket docs per
-    * (band, band-hash), expand intra-bucket pairs with a nested
-    * transform (ONE shuffle — no self-join recompute), count shared
-    * bands per pair. `bandHash` is pluggable.
-    *
-    * The persist is a CollapseProject barrier: the band projection
-    * references h0..h7 and feeds a Generate (explode), where codegen
-    * subexpression elimination does NOT apply — without the barrier
-    * the signature expression is re-evaluated once per referenced
-    * column (measured 4.5 s vs 1.1 s for the md5 signature at sf0.1). */
-  private def lshBandPairs(sigDf: DataFrame,
-      bandHash: (Column, Column) => Column): DataFrame = {
-    val sig = sigDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("doc_id"),
-      array((0 until MinhashK / 2).map(b =>
-        struct(lit(b).as("band"),
-          bandHash(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bh"))): _*)
-        .as("bands"))
-      .select(col("doc_id"), explode(col("bands")).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    banded
-      .groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-          struct(a.as("d1"), b.as("d2")))))).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .agg(count(lit(1)).as("n_bands"))
-      .orderBy(col("d1"), col("d2"))
-  }
+  /** The md5-hex minhash signature (bit-identical to the DuckDB
+    * oracle) via the library API — see [[graft.dedup.MinHashLsh]] and
+    * [[graft.sql.Md5MinHash]]. */
+  private def signatureDF(s: SparkSession, d: String): DataFrame =
+    graft.dedup.MinHashLsh.md5Signature(
+      t(s, d, "documents"), "doc_id", "text", MinhashK)
 
   private val q23 = QueryDef("q23_minhash_signature",
     (s, d) => signatureDF(s, d).orderBy(col("doc_id")),
@@ -471,10 +432,12 @@ object Queries {
                s"${minhashSqlExpr(i)} AS h$i").mkString(", ")}
              FROM ss ORDER BY doc_id"""))
 
-  // LSH banding: 4 bands × 2 rows; candidate pairs share ≥1 band
+  // LSH banding: 4 bands × 2 rows; candidate pairs share ≥1 band.
+  // maxBucket=0: the oracle has no bucket cap, so the exact twin
+  // keeps none either (the capped production path is q43/MinHashLsh).
   private val q24 = QueryDef("q24_minhash_lsh_pairs",
-    (s, d) => lshBandPairs(signatureDF(s, d),
-      (a, b) => md5(concat_ws("_", a, b))),
+    (s, d) => graft.dedup.MinHashLsh.bandPairs(signatureDF(s, d), MinhashK, 2,
+      (a, b) => md5(concat_ws("_", a, b)), maxBucket = 0),
     Some(s"""WITH tt AS (
                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
                FROM documents),
@@ -945,16 +908,14 @@ object Queries {
   // the PRODUCTION minhash: one codegen'd expression computes the whole
   // signature (tokenize → 3-gram shingle → 8 seeded xxhash64 minima,
   // single pass — see graft.sql.MinHashSig; the interpreted HOF chain
-  // this replaced measured 4.4 s at sf0.1). The banding barrier lives
-  // in lshBandPairs. Engine-defined hash → rows-only; correctness of
-  // the banding shape is carried by the oracled md5 twin (q24).
+  // this replaced measured 4.4 s at sf0.1). Engine-defined hash →
+  // rows-only; correctness of the banding shape is carried by the
+  // oracled md5 twin (q24).
   private val q43 = QueryDef("q43_minhash_xxhash_pairs",
-    (s, d) => {
-      val sigExpr = graft.sql.MinHashSig.sig(col("text"), MinhashK)
-      val sig = t(s, d, "documents").select(col("doc_id") +:
-        (0 until MinhashK).map(i => element_at(sigExpr, i + 1).as(s"h$i")): _*)
-      lshBandPairs(sig, (a, b) => xxhash64(a, b))
-    },
+    (s, d) => graft.dedup.MinHashLsh.bandPairs(
+      graft.dedup.MinHashLsh.xxhashSignature(
+        t(s, d, "documents"), "doc_id", "text", MinhashK),
+      MinhashK, 2, (a, b) => xxhash64(a, b)),
     None)
 
   // the SCALE path next to exact q40: approx_percentile keeps a bounded
