@@ -762,14 +762,9 @@ object Queries {
   // fingerprint near-dup candidates (rows-only: engine-defined hash)
   private val q36 = QueryDef("q36_winnow_fingerprint",
     (s, d) => {
-      import s.implicits._
       val fps = t(s, d, "documents")
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          (id, graft.text.Winnow.fingerprints(text, 5, 4))
-        })
-        .toDF("doc_id", "fps")
+        .select(col("doc_id"),
+          graft.sql.WinnowFps.fps(col("text"), 5, 4).as("fps"))
       fps.select(col("doc_id"), explode(col("fps")).as("fp"))
         .groupBy(col("fp"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -1108,11 +1103,54 @@ object Queries {
               FROM documents)
             ORDER BY doc_id"""))
 
+  // corpus vocabulary statistics per language: exact distinct-token
+  // count (explode → distinct agg) + total token volume. The approx
+  // twin for 10^12-doc scale is a one-liner config change
+  // (approx_count_distinct) — exact kept because it is oracled.
+  private val q48 = QueryDef("q48_vocab_stats",
+    (s, d) => t(s, d, "documents")
+      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("vocab"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("lang")),
+    Some("""SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS n_tokens
+            FROM (
+              SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents)
+            GROUP BY lang ORDER BY lang"""))
+
+  // top-k tokens by corpus frequency (deterministic tie-break on the
+  // token) — the classic corpus-stats op; map-side partial aggregation
+  // keeps the exchange at |vocab| not |tokens|
+  private val q49 = QueryDef("q49_top_tokens",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counted = t(s, d, "documents")
+        .select(explode(toks(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+      counted
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(desc("n"), col("tok"))))
+        .filter(col("rk") <= 20)
+        .select(col("rk"), col("tok"), col("n"))
+        .orderBy(col("rk"))
+    },
+    Some("""SELECT rk, tok, n FROM (
+              SELECT tok, count(*) AS n,
+                row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+              FROM (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents)
+              GROUP BY tok)
+            WHERE rk <= 20 ORDER BY rk"""))
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47)
+    q44, q45, q46, q47, q48, q49)
 }
