@@ -1041,13 +1041,9 @@ object Queries {
   // narrow aggregation; the corpus side never self-joins.
   private val q46 = QueryDef("q46_decontamination",
     (s, d) => {
-      val tk = toks(col("text"))
-      val sh = when(size(tk) >= 3,
-        array_distinct(transform(sequence(lit(1), size(tk) - 2),
-          i => concat_ws(" ", slice(tk, i, lit(3))))))
-        .otherwise(array(array_join(tk, " ")))
       val docsSh = t(s, d, "documents")
-        .select(col("doc_id"), explode(sh).as("s"))
+        .select(col("doc_id"),
+          explode(graft.sql.Shingles.of(col("text"), 3)).as("s"))
       val bench = docsSh.filter(col("doc_id") < 5).select(col("s")).distinct()
       docsSh.filter(col("doc_id") >= 5)
         .join(broadcast(bench), Seq("s"))

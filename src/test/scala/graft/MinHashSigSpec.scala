@@ -126,9 +126,16 @@ class MinHashSigSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val simExpr = df.select(col("id"), graft.sql.SimHash16.sim(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shingle expression vs HOF shingles (set equality; order is
+    // first-occurrence on both, but consumers are order-insensitive)
+    val shHof = df.select(col("id"), sh.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val shExpr = df.select(col("id"), graft.sql.Shingles.of(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
     (0L until 80L).foreach { i =>
       assert(expr(i) == hof(i), s"md5 minhash of doc $i")
       assert(simExpr(i) == simHof(i), s"simhash of doc $i")
+      assert(shExpr(i) == shHof(i), s"shingles of doc $i")
     }
   }
 
