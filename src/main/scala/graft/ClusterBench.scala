@@ -30,6 +30,15 @@ object ClusterBench {
       8, 2, (a, b) => xxhash64(a, b))
   }
 
+  /** Parse job: (doc_id, xml) rows → pooled-StAX parse → span docs
+    * (the north_star front end: no per-row parser instantiation). */
+  private def parseJob(spark: SparkSession, xmlPath: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    graft.run.IngestXml.parseDocs(
+      spark.read.parquet(xmlPath).as[(String, String)]).toDF()
+  }
+
   def main(args: Array[String]): Unit = {
     val spansPath = args(0)
     val label = if (args.length > 1) args(1) else "run"
@@ -49,6 +58,7 @@ object ClusterBench {
       job match {
         case "extract" => Bench.force(graft.stages.Extraction.pipeline(docs).toDF())
         case "dedup"   => Bench.force(dedupJob(docs)); spark.catalog.clearCache()
+        case "parse"   => Bench.force(parseJob(spark, spansPath))
         case other     => throw new IllegalArgumentException(s"unknown job '$other'")
       }
     }
@@ -64,24 +74,37 @@ object ClusterBench {
 }
 
 /** Deterministic span-corpus generator main (inputs for the cluster
-  * bench; seed fixed, no external data). Usage: GenCorpus <out> <nDocs>
-  * [profile] [files] */
+  * bench; seed fixed, no external data). `format=xml` renders each doc
+  * to canonical ALTO (AltoWriter) and stores (doc_id, xml) rows — the
+  * input shape of the `parse` cluster-bench job (XML-in-parquet keeps
+  * the bench off the small-file path; wholetext dir scans are covered
+  * by IngestXml itself).
+  * Usage: GenCorpus <out> <nDocs> [profile] [files] [format] */
 object GenCorpus {
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val nDocs = args(1).toLong
     val profile = if (args.length > 2) args(2) else "skewed"
     val files = if (args.length > 3) args(3).toInt else 128
+    val format = if (args.length > 4) args(4) else "spans"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-gen")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.gen.CorpusGen.docs(spark, nDocs, profile, 42L, 50000)
-      .toDF().repartition(files)
-      .write.mode("overwrite").parquet(out)
-    println(s"""{"metric":"gen","out":"$out","n_docs":$nDocs,"files":$files}""")
+    import spark.implicits._
+    val docs = graft.gen.CorpusGen.docs(spark, nDocs, profile, 42L, 50000)
+    val table = format match {
+      case "spans" => docs.toDF()
+      case "xml" => docs.map(d => (d.doc_id, new String(
+          graft.parse.AltoWriter.render(d),
+          java.nio.charset.StandardCharsets.UTF_8)))
+        .toDF("doc_id", "xml")
+      case other => throw new IllegalArgumentException(s"unknown format '$other'")
+    }
+    table.repartition(files).write.mode("overwrite").parquet(out)
+    println(s"""{"metric":"gen","out":"$out","n_docs":$nDocs,"files":$files,"format":"$format"}""")
     spark.stop()
   }
 }
