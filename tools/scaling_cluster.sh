@@ -20,3 +20,8 @@ for m in "local-cluster[1,4,8192] n1x4" "local-cluster[4,4,8192] n4x4"; do
     --class graft.ClusterBench "$JAR" "$SPANS" "$2" 2>/dev/null | grep '"metric"'
 done
 echo "efficiency = (docs_per_sec_n4x4 / docs_per_sec_n1x4) / 4  (target >= 0.8)"
+# Other stage families (see BENCH.md):
+#   dedup job:  spark-submit ... graft.ClusterBench <spans> <label> dedup
+#   parse job:  sbt "runMain graft.GenCorpus /tmp/graft_bench/xml2m 2000000 skewed 128 xml"
+#               spark-submit --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC \
+#                 ... graft.ClusterBench /tmp/graft_bench/xml2m <label> parse
