@@ -1126,10 +1126,14 @@ object Queries {
         .select(explode(toks(col("text"))).as("tok"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("n"))
+      // top-k via TakeOrderedAndProject (distributed partial top-k per
+      // partition, merged on the driver) — the global rank window then
+      // sees only the 20 survivors, never the whole vocabulary
       counted
+        .orderBy(desc("n"), col("tok"))
+        .limit(20)
         .withColumn("rk", row_number().over(
           Window.partitionBy(lit(1)).orderBy(desc("n"), col("tok"))))
-        .filter(col("rk") <= 20)
         .select(col("rk"), col("tok"), col("n"))
         .orderBy(col("rk"))
     },
