@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output goes to stdout RAW (no "[info] " logger
+// prefix) so the driver's JSON-line parse of graft.Bench works; the
+// JSON is additionally written to BENCH_LAST.json as a belt-and-braces
+// machine-readable copy.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
