@@ -45,14 +45,28 @@ object IvfIndex {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Assign every vector to its max-cosine cell (broadcast argmax —
-    * one map-side-combined aggregate, O(n·k), zero driver state). */
-  def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("cs", CosineSim(col("e"), col("centroid")))
-      .groupBy(col("id"))
-      .agg(max_by(col("cell"), struct(col("cs"), -col("cell"))).as("cell"),
-        first(col("e")).as("e"))
+  /** Assign every vector to its max-cosine cell. Zero-shuffle: the
+    * centroid table is tiny by design (k rows — it IS the persisted
+    * index artifact), so it is materialized once driver-side and the
+    * argmax becomes a per-row `greatest(struct(cos, -cell, cell))`
+    * over literal centroid arrays — a narrow projection, no Exchange
+    * (the crossJoin+groupBy formulation this replaces multiplied the
+    * corpus ×k and exchanged every vector once; guarded by
+    * PlanShapeSpec "IVF assignment is a narrow projection"). Ties on
+    * equal cosine go to the smallest cell. */
+  def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid table")
+    val scored = cents.toSeq.map { case (cell, c) =>
+      struct(CosineSim(col("e"), typedLit(c)).as("cs"),
+        lit(-cell).as("neg_cell"), lit(cell).as("cell"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    emb.select(col("id"), best.getField("cell").as("cell"), col("e"))
+  }
 
   /** Top-k neighbors of `query` (a one-row DataFrame with column `qe`)
     * probing the `nProbe` nearest cells of a pre-assigned table. */

@@ -690,14 +690,27 @@ object Queries {
     },
     None)
 
+  /** q33 block-size cap (the q22 pattern on the `label` key): a label
+    * block larger than this is dropped instead of expanded
+    * quadratically — bounded blocks stay exact, a hot label at 100×
+    * never goes O(n²) (the unbounded scale path is LSH bucketing,
+    * q31/q44). 256 keeps every block at sf0.01 (max 59) and sf0.1
+    * (max 218) while bounding any block to ≤32k pairs. */
+  private val NeardupLabelCap = 256
   // embedding-cosine near-dup pairs within a label block (exact,
   // oracle-checked; the LSH-bucketed scale path is q31/q34)
   private val q33 = QueryDef("q33_embed_neardup",
     (s, d) => {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-      val a = emb.select(col("vec_id").as("v1"), col("label"), col("e").as("e1"))
-      val b = emb.select(col("vec_id").as("v2"), col("label"), col("e").as("e2"))
+      // bounded blocks only: broadcast the (tiny) blocklist of key counts
+      val okLabels = emb.groupBy(col("label"))
+        .agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") <= NeardupLabelCap)
+        .select(col("label"))
+      val capped = emb.join(broadcast(okLabels), Seq("label"))
+      val a = capped.select(col("vec_id").as("v1"), col("label"), col("e").as("e1"))
+      val b = capped.select(col("vec_id").as("v2"), col("label"), col("e").as("e2"))
       a.join(b, Seq("label")).filter(col("v1") < col("v2"))
         .withColumn("cos", cosineCol(col("e1"), col("e2")))
         .filter(col("cos") >= 0.3)
@@ -705,14 +718,18 @@ object Queries {
           (round(col("cos"), 3) + lit(0.0)).as("cos_r"))
         .orderBy(col("v1"), col("v2"))
     },
-    Some("""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+    Some(s"""WITH ok AS (
+              SELECT label FROM embeddings GROUP BY 1
+              HAVING count(*) <= $NeardupLabelCap),
+            e AS (SELECT embeddings.* FROM embeddings JOIN ok USING (label))
+            SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
               round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) /
                 (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                     CAST(a.embedding AS DOUBLE[]))) *
                  sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])))), 3) + 0.0 AS cos_r
-            FROM embeddings a JOIN embeddings b
+            FROM e a JOIN e b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) /
@@ -723,8 +740,11 @@ object Queries {
             ORDER BY v1, v2"""))
 
   // ANN query through the hyperplane-LSH buckets: query vector's
-  // bucket → candidates → exact cosine top-5 (approximate by design →
-  // rows-only)
+  // bucket → candidates → exact cosine top-5. The planes are fixed
+  // literals and ranking uses the ROUNDED cosine with vec_id
+  // tie-break, so the "approximate" search is bit-deterministic and
+  // fully oracled (the single-bucket special case of q44's
+  // multi-probe).
   private val q34 = QueryDef("q34_ann_query",
     (s, d) => {
       val emb = t(s, d, "embeddings")
@@ -734,12 +754,28 @@ object Queries {
         .select(col("bucket"), col("e").as("qe"))
       emb.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= 0)
-        .withColumn("cos", round(cosineCol(col("e"), col("qe")), 3))
+        .withColumn("cos", round(cosineCol(col("e"), col("qe")), 3) + lit(0.0))
         .orderBy(desc("cos"), col("vec_id"))
         .select(col("vec_id"), col("cos"))
         .limit(5)
     },
-    None)
+    Some(s"""WITH b AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 CAST($annBucketSql AS BIGINT) AS bucket
+               FROM embeddings),
+             q AS (SELECT bucket, e AS qe FROM b WHERE vec_id = 0)
+             SELECT vec_id, cos FROM (
+               SELECT b.vec_id,
+                 round(list_dot_product(b.e, qe) /
+                   (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(qe, qe))), 3)
+                   + 0.0 AS cos,
+                 row_number() OVER (ORDER BY
+                   round(list_dot_product(b.e, qe) /
+                     (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(qe, qe))), 3)
+                     DESC, b.vec_id) AS rk
+               FROM b JOIN q USING (bucket)
+               WHERE b.vec_id <> 0) WHERE rk <= 5
+             ORDER BY cos DESC, vec_id"""))
 
   // multimodal: media refs → synthetic binary payloads → pooled stub
   // decode → typed metadata aggregation (rows-only; decode is stubbed)
@@ -1100,9 +1136,10 @@ object Queries {
             ORDER BY doc_id"""))
 
   // corpus vocabulary statistics per language: exact distinct-token
-  // count (explode → distinct agg) + total token volume. The approx
-  // twin for 10^12-doc scale is a one-liner config change
-  // (approx_count_distinct) — exact kept because it is oracled.
+  // count (explode → distinct agg) + total token volume. Exact kept
+  // because it is oracled; the 10^12-doc scale path is the
+  // bounded-sketch twin q50 (an OCR-noise vocabulary is ~unbounded,
+  // so the exact distinct's exchange grows with |vocab|).
   private val q48 = QueryDef("q48_vocab_stats",
     (s, d) => t(s, d, "documents")
       .select(col("lang"), explode(toks(col("text"))).as("tok"))
@@ -1146,11 +1183,25 @@ object Queries {
               GROUP BY tok)
             WHERE rk <= 20 ORDER BY rk"""))
 
+  // the SCALE twin of exact q48: HyperLogLog++ sketches keep the
+  // per-group state bounded (a few KB) no matter how unbounded the
+  // OCR-noise vocabulary gets — the exchange moves sketches, not the
+  // full distinct token set. Approximate by design → rows-only; q48
+  // stays the oracled exact twin.
+  private val q50 = QueryDef("q50_vocab_approx",
+    (s, d) => t(s, d, "documents")
+      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(approx_count_distinct(col("tok"), 0.01).as("vocab_approx"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("lang")),
+    None)
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49)
+    q44, q45, q46, q47, q48, q49, q50)
 }
