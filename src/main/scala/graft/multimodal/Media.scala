@@ -9,11 +9,15 @@ import graft.gen.CorpusGen.mix64
   * as opaque `binary` columns with typed metadata, exactly as the span
   * table treats them as opaque `media_ref` placeholders (north_rule).
   *
-  * The decode step itself (image/audio codecs) is STUBBED — the codec
-  * libraries are not in this container — behind [[MediaDecoder]]; the
-  * Spark-side plumbing (schema, per-partition decoder pooling, batch
-  * shape, partitioning) is real and tested. Swap [[StubDecoder]] for a
-  * JNI/codec-backed implementation in production.
+  * Decode is REAL for the header-parseable formats — BMP, PPM/PGM/PBM
+  * and GIF dimensions come from the actual bytes (pure-JVM header
+  * parse, no codec library needed; see [[HeaderDecoder]]). Formats
+  * that need a full codec (PNG/JPEG deflate, MP4, WAV resampling) fall
+  * back to the deterministic [[StubDecoder]] — the codec libraries are
+  * not in this container — and the 16-dim feature vector is likewise a
+  * stub stand-in for a real vision/audio embedding. The Spark-side
+  * plumbing (schema, per-partition decoder pooling, batch shape,
+  * partitioning) is identical either way.
   */
 object Media {
 
@@ -50,11 +54,81 @@ object Media {
     }
   }
 
+  /** REAL decode for the formats whose dimensions are plain header
+    * fields — no codec needed, just byte/ASCII parsing:
+    *
+    *  - BMP: `BM` magic, BITMAPINFOHEADER int32-LE width/height at
+    *    offsets 18/22 (height may be negative = top-down → abs);
+    *  - PPM/PGM/PBM (netpbm `P1`..`P6`): ASCII width/height after the
+    *    magic, `#` comments allowed anywhere in the header;
+    *  - GIF87a/89a: uint16-LE logical-screen width/height at 6/8.
+    *
+    * Anything else (PNG/JPEG/MP4/WAV need real codecs absent from this
+    * container) falls back to the deterministic stub. */
+  final class HeaderDecoder extends MediaDecoder {
+    private val stub = new StubDecoder
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+    /** Read the next ASCII unsigned int of a netpbm header, skipping
+      * whitespace and `#`-to-newline comments; returns (value, nextPos)
+      * or null on malformed input. */
+    private def pnmInt(b: Array[Byte], from: Int): (Int, Int) = {
+      var i = from
+      var guard = true
+      while (guard && i < b.length) {
+        val c = b(i).toChar
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else guard = false
+      }
+      val start = i
+      var v = 0L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9' && v <= Int.MaxValue) {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      if (i == start || v > Int.MaxValue) null else (v.toInt, i)
+    }
+
+    override def decode(ref: String, bytes: Array[Byte], mime: String): MediaMeta = {
+      val fallback = stub.decode(ref, bytes, mime)
+      if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
+        fallback.copy(mime = "image/bmp", n_frames = 1,
+          width = le32(bytes, 18), height = math.abs(le32(bytes, 22)))
+      else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == '8')
+        fallback.copy(mime = "image/gif", n_frames = 1,
+          width = le16(bytes, 6), height = le16(bytes, 8))
+      else if (bytes.length >= 4 && bytes(0) == 'P' &&
+          bytes(1) >= '1' && bytes(1) <= '6') {
+        val w = pnmInt(bytes, 2)
+        val h = if (w == null) null else pnmInt(bytes, w._2)
+        if (h == null) fallback
+        else fallback.copy(mime = "image/x-portable-anymap", n_frames = 1,
+          width = w._1, height = h._1)
+      } else fallback
+    }
+  }
+
   private object DecoderPool {
     @transient private lazy val tl = new ThreadLocal[MediaDecoder] {
-      override def initialValue(): MediaDecoder = new StubDecoder
+      override def initialValue(): MediaDecoder = new HeaderDecoder
     }
     def get(): MediaDecoder = tl.get()
+  }
+
+  /** Minimal valid BMP (BITMAPINFOHEADER, 24bpp, no pixel data rows —
+    * header-complete, which is all a dimension probe reads). */
+  def bmpBytes(width: Int, height: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54).putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(0).putInt(0)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    b.array()
   }
 
   /** Decode/feature-extract a media table
@@ -105,5 +179,36 @@ object Media {
       sha2(col("media_ref"), 256).cast("binary").as("content"),
       element_at(array(lit("image/png"), lit("video/mp4"), lit("audio/wav")),
         (pmod(xxhash64(col("media_ref")), lit(3)) + 1).cast("int")).as("mime"))
+  }
+
+  private def hashStr(s: String): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < s.length) { h = mix64(h ^ s.charAt(i)); i += 1 }
+    h
+  }
+
+  /** Like [[synthMedia]], but image refs carry REAL BMP bytes (header
+    * width/height derived deterministically from the ref) so the
+    * decode path exercises [[HeaderDecoder]]'s actual byte parse;
+    * video/audio refs stay opaque payloads on the stub path. Narrow
+    * mapPartitions — same batch shape as a real payload fetch. */
+  def synthMediaReal(spark: SparkSession, refs: DataFrame): DataFrame = {
+    import spark.implicits._
+    refs.select(col("media_ref")).as[String].mapPartitions { it =>
+      it.map { ref =>
+        val h = hashStr(ref)
+        math.floorMod(h, 3L) match {
+          case 0L =>
+            val w = 64 + math.floorMod(mix64(h + 11), 1984L).toInt
+            val ht = 64 + math.floorMod(mix64(h + 12), 1024L).toInt
+            (ref, bmpBytes(w, ht), "image/bmp")
+          case 1L =>
+            (ref, Array.tabulate(32)(j => mix64(h + j).toByte), "video/mp4")
+          case _ =>
+            (ref, Array.tabulate(32)(j => mix64(h - j).toByte), "audio/wav")
+        }
+      }
+    }.toDF("media_ref", "content", "mime")
   }
 }

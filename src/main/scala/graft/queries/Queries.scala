@@ -777,14 +777,17 @@ object Queries {
                WHERE b.vec_id <> 0) WHERE rk <= 5
              ORDER BY cos DESC, vec_id"""))
 
-  // multimodal: media refs → synthetic binary payloads → pooled stub
-  // decode → typed metadata aggregation (rows-only; decode is stubbed)
+  // multimodal: media refs → synthetic binary payloads → pooled
+  // decode → typed metadata aggregation. Image payloads are REAL BMP
+  // bytes whose dimensions come from the actual header parse
+  // (Media.HeaderDecoder); video/audio stay on the documented stub
+  // path (rows-only: mixed stub content)
   private val q35 = QueryDef("q35_media_decode",
     (s, d) => {
       val refs = t(s, d, "documents")
         .select(concat(lit("media://doc"), col("doc_id"), lit("/0")).as("media_ref"))
       val meta = graft.multimodal.Media.decodeMeta(
-        graft.multimodal.Media.synthMedia(s, refs))
+        graft.multimodal.Media.synthMediaReal(s, refs))
       meta.toDF()
         .groupBy(col("mime"))
         .agg(count(lit(1)).as("n"),

@@ -2,6 +2,7 @@ package graft.stages
 
 import java.util.regex.Pattern
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -243,6 +244,58 @@ object Extraction {
       // the detail is O(#docs) and must stay distributed at corpus scale
       .orderBy($"hit_ratio", $"doc_id")
       .write.mode("overwrite").option("header", "true").csv(s"$outDir/detail")
+    rep
+  }
+
+  /** Python `str(float)` for the domain of 3-dp-rounded ratios in
+    * [0, 100]: both CPython's repr and `java.lang.Double.toString`
+    * print the shortest decimal that round-trips, and they agree on
+    * this range (divergences are exponent-notation corner cases
+    * outside it). */
+  private def pyFloatStr(x: Double): String = java.lang.Double.toString(x)
+
+  /** Python `f"{x:.3f}"`: fixed 3 decimals, correctly rounded
+    * (half-even on the exact binary value — Java's `%.3f` rounds
+    * HALF_UP and can differ on formatting ties). */
+  private def py3f(x: Double): String =
+    new java.math.BigDecimal(x)
+      .setScale(3, java.math.RoundingMode.HALF_EVEN).toPlainString
+
+  /** S11 — the exact `.wtr` byte layout (ocr_pipeline.py:233-269):
+    * one header line `mean,b1,b2,b3,b4,b5,n_total,n_invalid`, then the
+    * VALID per-doc rows `file_name,ratio(.3f),n_words,n_errs,
+    * n_lines_in,n_wraps,n_shorts,n_lines_out` ascending by ratio, then
+    * one blank line. Single UTF-8 file for downstream `.wtr` parsers —
+    * a per-partition/compatibility sink streamed through the driver
+    * (O(#docs in this partition)); the corpus-scale distributed report
+    * sink remains [[writeReport]]. Divergence noted: the reference's
+    * `sorted()` is stable on arrival order for equal ratios; arrival
+    * order is undefined in a distributed engine, so ties break on
+    * file_name. */
+  def writeWtr(processed: Dataset[ProcessedDoc], path: String): EstimationReport = {
+    val rep = report(processed)
+    val spark = processed.sparkSession
+    import spark.implicits._
+    val rows = processed
+      .filter($"hit_ratio" =!= Estimation.MissingRatio)
+      .select($"file_name", $"hit_ratio", $"n_words", $"n_errs",
+        $"n_lines_in", $"n_wraps", $"n_shorts", $"n_lines_out")
+      .as[(String, Double, Int, Int, Int, Int, Int, Int)]
+      .orderBy($"hit_ratio", $"file_name")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+      w.write(s"${pyFloatStr(rep.mean)},${rep.b1},${rep.b2},${rep.b3}," +
+        s"${rep.b4},${rep.b5},${rep.n_total},${rep.n_invalid}\n")
+      rows.toLocalIterator().forEachRemaining { r =>
+        w.write(s"${r._1},${py3f(r._2)},${r._3},${r._4},${r._5},${r._6},${r._7},${r._8}\n")
+      }
+      w.write("\n")
+      w.flush()
+    } finally out.close()
     rep
   }
 

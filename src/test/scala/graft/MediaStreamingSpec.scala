@@ -42,6 +42,51 @@ class MediaStreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("header decode is real: BMP/PPM/GIF dims come from the bytes") {
+    val dec = new Media.HeaderDecoder
+
+    // BMP round-trip through the generator used by q35
+    val bmp = dec.decode("r1", Media.bmpBytes(641, 123), "application/octet-stream")
+    assert((bmp.mime, bmp.width, bmp.height, bmp.n_frames) == (("image/bmp", 641, 123, 1)))
+    // top-down BMP stores a negative height
+    val topDown = Media.bmpBytes(10, -20)
+    assert(dec.decode("r2", topDown, "x").height == 20)
+
+    // netpbm with comments between header tokens
+    val ppm = "P6\n# a comment\n 800 # inline\n600\n255\n".getBytes("US-ASCII")
+    val m = dec.decode("r3", ppm, "x")
+    assert((m.mime, m.width, m.height) == (("image/x-portable-anymap", 800, 600)))
+
+    // GIF logical screen descriptor (uint16 LE at 6/8)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x20, 0x03, 0x58, 0x02) // 800 x 600
+    val g = dec.decode("r4", gif, "x")
+    assert((g.mime, g.width, g.height) == (("image/gif", 800, 600)))
+
+    // unknown bytes fall back to the deterministic stub
+    val junk = Array.tabulate[Byte](16)(_.toByte)
+    val viaHeader = dec.decode("r5", junk, "video/mp4")
+    val viaStub = new Media.StubDecoder().decode("r5", junk, "video/mp4")
+    assert((viaHeader.mime, viaHeader.width, viaHeader.height, viaHeader.n_frames) ==
+      ((viaStub.mime, viaStub.width, viaStub.height, viaStub.n_frames)))
+    assert(viaHeader.feature.toSeq == viaStub.feature.toSeq)
+
+    // end-to-end through Spark: every image/bmp row's dims are the
+    // header parse of its generated payload
+    import spark.implicits._
+    val refs = (0 until 120).map(i => s"media://doc$i/0").toDF("media_ref")
+    val media = Media.synthMediaReal(spark, refs)
+    val meta = Media.decodeMeta(media).collect()
+    assert(meta.length == 120)
+    val bmps = meta.filter(_.mime == "image/bmp")
+    assert(bmps.nonEmpty)
+    val payloads = media.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    bmps.foreach { mm =>
+      val expect = dec.decode(mm.media_ref, payloads(mm.media_ref), "image/bmp")
+      assert((mm.width, mm.height) == ((expect.width, expect.height)), mm.media_ref)
+    }
+  }
+
   test("streaming AvailableNow pass == batch pipeline result, incremental pickup") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-stream").toString

@@ -32,4 +32,39 @@ class StreamDedupSpec extends SparkSpecBase {
       assert(rows == Seq(("fpA", "doc1"), ("fpB", "doc2"), ("fpC", "doc7")))
     } finally q.stop()
   }
+
+  test("TTL variant: expired state re-admits a fingerprint; live state still dedups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val input = MemoryStream[StreamDedup.FpDocT]
+    // 60 s TTL, zero allowed out-of-orderness → expiry is driven purely
+    // by event time, deterministic under replay
+    val q = StreamDedup.dedupTtl(input.toDS(), ttlMs = 60000)
+      .writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: fpA kept (watermark after batch: 10 s, timeout 70 s)
+      input.addData(StreamDedup.FpDocT("fpA", "doc1", ts(10)))
+      q.processAllAvailable()
+      // batch 2: a copy INSIDE the ttl window is dropped; watermark → 50 s
+      input.addData(StreamDedup.FpDocT("fpA", "doc2", ts(50)))
+      q.processAllAvailable()
+      // batch 3: unrelated key pushes the watermark to 200 s (past fpA's
+      // 110 s timeout — fpA's state is removed during batch 4)
+      input.addData(StreamDedup.FpDocT("fpZ", "doc3", ts(200)))
+      q.processAllAvailable()
+      // batch 4: timeout fires for fpA (no new data needed for the group)
+      input.addData(StreamDedup.FpDocT("fpY", "doc4", ts(210)))
+      q.processAllAvailable()
+      // batch 5: fpA returns AFTER expiry → re-admitted as a new keeper
+      input.addData(StreamDedup.FpDocT("fpA", "doc9", ts(220)))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_ttl_out")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(rows == Seq(("fpA", "doc1"), ("fpA", "doc9"),
+        ("fpY", "doc4"), ("fpZ", "doc3")))
+    } finally q.stop()
+  }
 }
