@@ -20,8 +20,11 @@ for m in "local-cluster[1,4,8192] n1x4" "local-cluster[4,4,8192] n4x4"; do
     --class graft.ClusterBench "$JAR" "$SPANS" "$2" 2>/dev/null | grep '"metric"'
 done
 echo "efficiency = (docs_per_sec_n4x4 / docs_per_sec_n1x4) / 4  (target >= 0.8)"
-# Other stage families (see BENCH.md):
-#   dedup job:  spark-submit ... graft.ClusterBench <spans> <label> dedup
+# Other stage families (see BENCH.md). Both alloc-heavy families (parse
+# AND dedup) need ParallelGC to clear 0.8 at multi-executor scale — G1
+# measures 0.71-0.78 (parse, r2) / 0.76 (dedup, r3) on the same jobs:
+#   dedup job:  spark-submit --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC \
+#                 ... graft.ClusterBench <spans> <label> dedup
 #   parse job:  sbt "runMain graft.GenCorpus /tmp/graft_bench/xml2m 2000000 skewed 128 xml"
 #               spark-submit --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC \
 #                 ... graft.ClusterBench /tmp/graft_bench/xml2m <label> parse
