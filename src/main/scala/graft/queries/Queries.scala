@@ -1203,11 +1203,142 @@ object Queries {
       .orderBy(col("lang")),
     None)
 
+  // as-of join (an operator Spark lacks natively): each purchase event
+  // matched to the user's latest click at-or-before it — via the
+  // union+running-window rewrite in graft.ops.AsOfJoin (one exchange,
+  // zero joins, never the quadratic range self-join). Tie rules
+  // (<=; equal-ts clicks resolve to the largest payload) are mirrored
+  // in the oracle's window formulation.
+  private val q51 = QueryDef("q51_asof_join",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.ops.AsOfJoin.asOf(purchases, clicks,
+          key = "user_id", leftTs = "ts", rightTs = "ts", carry = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof.event_id").as("click_event_id"),
+          // floor of the seconds delta: Spark's double→long cast
+          // truncates while DuckDB's rounds, so floor() on both sides
+          floor(col("ts").cast("timestamp").cast("double")
+            - col("asof.ts").cast("timestamp").cast("double")).cast("bigint").as("gap_s"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH u AS (
+              SELECT user_id AS k, ts, 0 AS is_r, event_id,
+                CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS TIMESTAMP) AS r_ts
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts, 1, NULL, event_id, ts
+              FROM events WHERE event_type = 'click'),
+            w AS (
+              SELECT *,
+                last_value(r_eid IGNORE NULLS) OVER
+                  (PARTITION BY k ORDER BY ts, is_r DESC, r_ts, r_eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_eid,
+                last_value(r_ts IGNORE NULLS) OVER
+                  (PARTITION BY k ORDER BY ts, is_r DESC, r_ts, r_eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_ts
+              FROM u)
+            SELECT event_id, k AS user_id, a_eid AS click_event_id,
+              CAST(floor(epoch(ts) - epoch(a_ts)) AS BIGINT) AS gap_s
+            FROM w WHERE is_r = 0 ORDER BY event_id"""))
+
+  // range join via binning (graft.ops.RangeJoin): events against 60
+  // overlapping 18-hour windows — the theta-join becomes an equi-join
+  // on the 6-hour bin, so it hashes/broadcasts instead of
+  // nested-looping; the oracle is the plain BETWEEN join.
+  private val RjBase = 1704067200L // 2024-01-01 00:00:00 UTC (events' epoch)
+  private val q52 = QueryDef("q52_range_join",
+    (s, d) => {
+      val wins = s.range(60).select(col("id").cast("int").as("w_id"),
+        (lit(RjBase) + col("id") * 43200).cast("double").as("ws"),
+        (lit(RjBase) + col("id") * 43200 + 64800).cast("double").as("we"))
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("value"),
+          col("ts").cast("timestamp").cast("double").as("tse"))
+      graft.ops.RangeJoin.pointInInterval(
+          ev, "tse", broadcast(wins), "ws", "we", binWidth = 21600.0)
+        .groupBy(col("w_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+        .orderBy(col("w_id"))
+    },
+    Some("""WITH w AS (
+              SELECT CAST(i AS INT) AS w_id,
+                TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 43200) AS ws,
+                TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 43200 + 64800) AS we
+              FROM (SELECT unnest(range(60)) AS i))
+            SELECT w_id, count(*) AS n, round(sum(value), 2) AS sum_val
+            FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+            GROUP BY 1 ORDER BY 1"""))
+
+  // salted skew join (graft.sql.Skew.saltedJoin — north_rule "skew …
+  // handled with salted repartitioning"): the fact side gets a
+  // deterministic per-row salt, the dimension replicates salts×, the
+  // exchange spreads a hot supplier over 8 partitions. The oracle is
+  // the UNsalted join — values must be identical, salting is pure
+  // physical redistribution.
+  private val q53 = QueryDef("q53_skew_salted_join",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.sql.Skew.saltedJoin(li, sup, "l_suppkey", salts = 8)
+        .groupBy(col("s_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("s_name"))
+    },
+    Some("""SELECT s_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              count(*) AS n
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1 ORDER BY 1"""))
+
+  // int8 scalar quantization of the embedding column (the 4×
+  // memory/bandwidth lever for 10^9-vector ANN serving): per-vector
+  // scale = 127/max|x|, q = floor(x·scale + 0.5) — floor(+0.5) instead
+  // of round() because Spark rounds half-up and DuckDB half-even —
+  // plus the dequantization error that decides whether int8 recall is
+  // acceptable.
+  private val q54 = QueryDef("q54_embed_quantize",
+    (s, d) => {
+      def qz(x: Column, scale: Column): Column = floor(x * scale + 0.5)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("scale", lit(127.0) /
+          greatest(aggregate(col("e"), lit(0.0), (acc, x) => greatest(acc, abs(x))),
+            lit(1e-12)))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          array_min(transform(col("e"), x => qz(x, col("scale")))).cast("int").as("q_min"),
+          array_max(transform(col("e"), x => qz(x, col("scale")))).cast("int").as("q_max"),
+          (round(aggregate(col("e"), lit(0.0),
+            (acc, x) => acc + abs(qz(x, col("scale")) / col("scale") - x))
+            / size(col("e")), 6) + lit(0.0)).as("mean_abs_err"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH s AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                127.0 / greatest(list_max(list_transform(
+                  CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-12) AS scale
+              FROM embeddings)
+            SELECT vec_id, round(scale, 6) AS scale_r,
+              CAST(list_min(list_transform(e, x -> floor(x * scale + 0.5))) AS INT) AS q_min,
+              CAST(list_max(list_transform(e, x -> floor(x * scale + 0.5))) AS INT) AS q_max,
+              round(list_sum(list_transform(e,
+                x -> abs(floor(x * scale + 0.5) / scale - x))) / len(e), 6) + 0.0
+                AS mean_abs_err
+            FROM s ORDER BY vec_id"""))
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOfJoin, RangeJoin}
+
+/** Semantics + plan shape of the custom join operators (as-of join,
+  * range join) — the two relational ops Spark lacks natively,
+  * re-expressed as window/equi-join rewrites. */
+class OpsJoinSpec extends SparkSpecBase {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("asOf: <= match, latest wins, equal-ts ties, null when no prior row") {
+    import spark.implicits._
+    val left = Seq( // (id, key, ts)
+      (1L, "a", ts(100)),
+      (2L, "a", ts(50)), // before every right row -> null match
+      (3L, "a", ts(60)), // exactly AT a right ts -> <= matches it
+      (4L, "b", ts(100)) // other key: isolated
+    ).toDF("id", "k", "t")
+    val right = Seq( // (key, ts, payload)
+      ("a", ts(60), 600L),
+      ("a", ts(60), 601L), // equal-ts tie -> largest payload wins
+      ("a", ts(90), 900L),
+      ("b", ts(10), 111L)
+    ).toDF("k", "t", "v")
+
+    val out = AsOfJoin.asOf(left, right, key = "k", leftTs = "t",
+        rightTs = "t", carry = Seq("v"))
+      .select(col("id"), col("asof.v").as("v"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map(1L -> 900L, 2L -> -1L, 3L -> 601L, 4L -> 111L))
+  }
+
+  test("asOf plan: one exchange (the window), zero joins") {
+    import spark.implicits._
+    val left = (1 to 100).map(i => (i.toLong, s"k${i % 5}", ts(i.toLong))).toDF("id", "k", "t")
+    val right = (1 to 50).map(i => (s"k${i % 5}", ts(i.toLong * 2), i.toLong)).toDF("k", "t", "v")
+    val df = AsOfJoin.asOf(left, right, "k", "t", "t", Seq("v"))
+    df.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // operators in the final plan only
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(!plan.contains("Join"), s"asOf joins:\n$plan")
+    assert(plan.split("Exchange").length - 1 == 1, s"asOf shuffles more than once:\n$plan")
+  }
+
+  test("rangeJoin: containment exact on half-open boundaries, multi-bin intervals") {
+    import spark.implicits._
+    val points = Seq((1L, 0.0), (2L, 9.99), (3L, 10.0), (4L, 25.0), (5L, 29.99),
+      (6L, 30.0), (7L, 55.0)).toDF("pid", "pos")
+    // [10, 30): spans bins 1-2 at width 10; [0, 10): one bin; [20, 56): 4 bins
+    val ivs = Seq((10, 10.0, 30.0), (20, 0.0, 10.0), (30, 20.0, 56.0)).toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(points, "pos", ivs, "s", "e", binWidth = 10.0)
+      .select(col("pid"), col("iid")).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val brute = (for {
+      (pid, pos) <- Seq((1L, 0.0), (2L, 9.99), (3L, 10.0), (4L, 25.0), (5L, 29.99),
+        (6L, 30.0), (7L, 55.0))
+      (iid, s, e) <- Seq((10, 10.0, 30.0), (20, 0.0, 10.0), (30, 20.0, 56.0))
+      if pos >= s && pos < e
+    } yield (pid, iid)).toSet
+    assert(got == brute)
+    // each matching pair appears exactly once (a point is in ONE bin)
+    val n = RangeJoin.pointInInterval(points, "pos", ivs, "s", "e", 10.0).count()
+    assert(n == brute.size)
+  }
+
+  test("rangeJoin plan: equi-join on the bin (hash/broadcast), never a nested loop") {
+    import spark.implicits._
+    val points = spark.range(1000).select(col("id").as("pid"), (col("id") % 500).cast("double").as("pos"))
+    val ivs = spark.range(20).select(col("id").as("iid"),
+      (col("id") * 25).cast("double").as("s"), (col("id") * 25 + 40).cast("double").as("e"))
+    val df = RangeJoin.pointInInterval(points, "pos", broadcast(ivs), "s", "e", 25.0)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no hash join on the bin:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"nested loop leaked in:\n$plan")
+  }
+}
