@@ -1334,11 +1334,84 @@ object Queries {
                 AS mean_abs_err
             FROM s ORDER BY vec_id"""))
 
+  // tf-idf: corpus document frequencies + per-doc top-3 terms — the
+  // classic relevance/keyword-extraction op. The df table is
+  // token-keyed (|vocab| rows, map-side combined); the probe side is
+  // filtered BEFORE the join so the exchange moves 50 docs' terms, not
+  // the corpus. Ranking uses the ROUNDED score (+ token tie-break) so
+  // both engines agree despite ln() being libm-dependent at the ulp.
+  private val q55 = QueryDef("q55_tfidf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dft = tk.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("tok"))
+      tf.filter(col("doc_id") < 50)
+        .join(dft, Seq("tok"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 3) + lit(0.0))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+            dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.tok, tf.tf, dft.df,
+                round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 3) + 0.0 AS score
+              FROM tf JOIN dft USING (tok), n
+              WHERE tf.doc_id < 50),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, tok) AS rk
+              FROM scored)
+            SELECT doc_id, rk, tok, tf, df, score FROM ranked
+            WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
+  // unigram-LM quality score: mean log-probability of each document
+  // under the corpus's own unigram distribution — the deterministic
+  // stand-in for the perplexity filter every LLM data pipeline runs
+  // (CCNet-style; a real KenLM slots into the same join shape). Low
+  // scores = repetitive/degenerate text, high = common fluent tokens.
+  private val q56 = QueryDef("q56_unigram_quality",
+    (s, d) => {
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = tk.agg(count(lit(1)).as("total"))
+      tk.join(freq, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          (round(sum(log(col("cnt").cast("double") / col("total")))
+            / count(lit(1)), 3) + lit(0.0)).as("mean_lp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+            f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+            t AS (SELECT count(*) AS total FROM tk)
+            SELECT doc_id, count(*) AS n_tokens,
+              round(sum(ln(CAST(cnt AS DOUBLE) / total)) / count(*), 3) + 0.0 AS mean_lp
+            FROM tk JOIN f USING (tok), t
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
 }

@@ -82,6 +82,17 @@ object ExtractMain {
     val rep = Extraction.writeReport(all, s"$outRoot/report")
     println(s"[extract] report: mean=${rep.mean} bins=[${rep.b1},${rep.b2},${rep.b3},${rep.b4},${rep.b5}] " +
       s"total=${rep.n_total} invalid=${rep.n_invalid}")
+    // exact-layout `.wtr` compatibility file for downstream parsers
+    // (single file; SPARK_GRAFT_WTR=0 opts out for huge corpora where
+    // only the distributed report makes sense)
+    if (!sys.env.get("SPARK_GRAFT_WTR").contains("0")) {
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd_HH-mm").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val wtrPath = s"$outRoot/report/corpus_$stamp.wtr"
+      Extraction.writeWtr(all, wtrPath)
+      println(s"[extract] wtr: $wtrPath")
+    }
     // A1/A2 corpus replacement statistics, reference `ſ:392` format
     // (ocr_pipeline.py:402-411) — O(#distinct keys) driver-side
     val stats = Extraction.corpusReplStats(all).collect()

@@ -48,6 +48,24 @@ class IvfIndexSpec extends SparkSpecBase {
     // runtime — the API gives query time no access to the trainer)
   }
 
+  test("recall grows monotonically with nProbe, reaching exact at full probe") {
+    val k = 8
+    val centroids = IvfIndex.train(emb, k, seed = 42L, maxIter = 10)
+    val assigned = IvfIndex.assign(emb.filter(col("id") =!= 0), centroids)
+    val query = emb.filter(col("id") === 0).select(col("e").as("qe"))
+    val brute = emb.filter(col("id") =!= 0).crossJoin(broadcast(query))
+      .withColumn("cos", graft.sql.CosineSim(col("e"), col("qe")))
+      .orderBy(desc("cos"), col("id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val recalls = Seq(1, 3, k).map { np =>
+      val ids = IvfIndex.search(assigned, centroids, query, np, topK = 10)
+        .collect().map(_.getLong(0)).toSet
+      (brute & ids).size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in nProbe: $recalls")
+    assert(recalls.last == 10, s"full probe missed neighbors: $recalls")
+  }
+
   test("assignment is deterministic and total") {
     val centroids = IvfIndex.train(emb, 4, seed = 7L, maxIter = 5)
     val a1 = IvfIndex.assign(emb, centroids).select("id", "cell").collect()
