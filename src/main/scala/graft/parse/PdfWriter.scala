@@ -1,0 +1,100 @@
+package graft.parse
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** Minimal deterministic PDF writer — the fixture/bench generator for
+  * [[PdfExtract]] (the role [[AltoWriter]] plays for the XML parser):
+  * real file structure (objects, xref, trailer), Helvetica text placed
+  * with `Td`, optional FlateDecode content streams (JDK Deflater),
+  * optional image XObject per page (a `Do` invocation → media span).
+  * No external data, byte-stable for fixed input.
+  */
+object PdfWriter {
+
+  private def esc(t: String): String =
+    t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val bos = new java.io.ByteArrayOutputStream(b.length)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      bos.write(buf, 0, n)
+    }
+    d.end()
+    bos.toByteArray
+  }
+
+  /** @param pages     per page: (x, y, text) placements (PDF points,
+    *                  origin bottom-left)
+    * @param flate     FlateDecode the content streams
+    * @param withImage add a 1×1 image XObject + `Do` per page
+    */
+  def render(pages: Seq[Seq[(Double, Double, String)]],
+      flate: Boolean = false, withImage: Boolean = false): Array[Byte] = {
+    val nPages = pages.length
+    // object layout: 1 catalog, 2 pages, 3 font, [4 image],
+    // then per page: pageObj, contentObj
+    val fontNum = 3
+    val imgNum = if (withImage) 4 else -1
+    val firstPage = if (withImage) 5 else 4
+
+    val objs = scala.collection.mutable.LinkedHashMap.empty[Int, Array[Byte]]
+    val kids = (0 until nPages).map(i => s"${firstPage + 2 * i} 0 R").mkString(" ")
+    objs(1) = s"<< /Type /Catalog /Pages 2 0 R >>".getBytes(ISO_8859_1)
+    objs(2) = s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>".getBytes(ISO_8859_1)
+    objs(fontNum) =
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>".getBytes(ISO_8859_1)
+    if (withImage) {
+      val pixel = Array[Byte](0x7F)
+      objs(imgNum) = (s"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 " +
+        s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length ${pixel.length} >>\n" +
+        "stream\n").getBytes(ISO_8859_1) ++ pixel ++ "\nendstream".getBytes(ISO_8859_1)
+    }
+
+    pages.zipWithIndex.foreach { case (placements, i) =>
+      val pageNum = firstPage + 2 * i
+      val contNum = pageNum + 1
+      val xobj = if (withImage) s" /XObject << /Im0 $imgNum 0 R >>" else ""
+      objs(pageNum) = (s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Resources << /Font << /F1 $fontNum 0 R >>$xobj >> " +
+        s"/Contents $contNum 0 R >>").getBytes(ISO_8859_1)
+      val body = new StringBuilder("BT /F1 12 Tf\n")
+      var px = 0.0; var py = 0.0
+      placements.foreach { case (x, y, t) =>
+        body.append(f"${x - px}%.2f ${y - py}%.2f Td (${esc(t)}) Tj\n")
+        px = x; py = y
+      }
+      body.append("ET\n")
+      if (withImage) body.append("q 20 0 0 20 500 50 cm /Im0 Do Q\n")
+      val raw = body.toString.getBytes(ISO_8859_1)
+      val (data, filter) =
+        if (flate) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      objs(contNum) =
+        (s"<< /Length ${data.length}$filter >>\nstream\n").getBytes(ISO_8859_1) ++
+          data ++ "\nendstream".getBytes(ISO_8859_1)
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes(ISO_8859_1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    objs.toSeq.sortBy(_._1).foreach { case (num, body) =>
+      offsets(num) = out.size()
+      out.write(s"$num 0 obj\n".getBytes(ISO_8859_1))
+      out.write(body)
+      out.write("\nendobj\n".getBytes(ISO_8859_1))
+    }
+    val maxNum = objs.keys.max
+    val xrefPos = out.size()
+    val sb = new StringBuilder(s"xref\n0 ${maxNum + 1}\n0000000000 65535 f \n")
+    (1 to maxNum).foreach { n =>
+      sb.append(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n")
+    }
+    sb.append(s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefPos\n%%EOF\n")
+    out.write(sb.toString.getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+}

@@ -1407,11 +1407,46 @@ object Queries {
             FROM tk JOIN f USING (tok), t
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  // PDF layout parse (north_rule), driven end-to-end: each document is
+  // rendered to a REAL multi-line PDF (FlateDecode content stream + an
+  // image XObject — graft.parse.PdfWriter), then parsed back through
+  // the from-scratch extractor (graft.parse.PdfExtract). The oracle
+  // encodes the round-trip invariant: every whitespace token survives
+  // write→inflate→interpret→layout-sort as one text span, plus exactly
+  // one media span for the image's Do.
+  private val q57 = QueryDef("q57_pdf_extract",
+    (s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "documents")
+        .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+        .as[(String, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val tk = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+            val lines = tk.grouped(8).zipWithIndex.map { case (ws, i) =>
+              (72.0, 720.0 - i * 14.0, ws.mkString(" "))
+            }.toSeq
+            (id, graft.parse.PdfWriter.render(Seq(lines),
+              flate = true, withImage = true))
+          }
+        }
+      graft.parse.PdfExtract.extractDocs(rows).toDF()
+        .select(col("doc_id"), size(col("spans")).as("n_spans"),
+          size(filter(col("spans"), x => x.getField("kind") === "media")).as("n_media"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 1
+                   ELSE len(string_split_regex(trim(text), '\s+')) + 1 END AS INT)
+                AS n_spans,
+              CAST(1 AS INT) AS n_media
+            FROM documents ORDER BY doc_id"""))
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
 }

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import graft.model.Span
+import graft.parse.{PdfExtract, PdfWriter}
+
+/** PDF layout parse (north_rule): round-trips through the minimal
+  * writer plus handcrafted content streams for the syntax corners
+  * (escapes, hex strings, TJ arrays, Tm, multi-object content). */
+class PdfExtractSpec extends SparkSpecBase {
+
+  private def texts(spans: Seq[Span]) =
+    spans.filter(_.kind == Span.KindText).map(_.text)
+
+  test("single page round-trip: tokens, line grouping, reading order") {
+    val pdf = PdfWriter.render(Seq(Seq(
+      (72.0, 700.0, "Erste Zeile oben"),
+      (300.0, 700.0, "rechts daneben"),
+      (72.0, 680.0, "zweite Zeile"))))
+    val spans = PdfExtract.extract(pdf, "d1")
+    assert(texts(spans) ==
+      Seq("Erste", "Zeile", "oben", "rechts", "daneben", "zweite", "Zeile"))
+    // same baseline → same line ref; next baseline → next line ref
+    val refs = spans.map(_.media_ref).distinct
+    assert(refs == Seq("line://pdf/p0/l0", "line://pdf/p0/l1"))
+    // offsets are the total order
+    assert(spans.map(_.offset) == spans.indices.toVector)
+  }
+
+  test("reading order is geometric (top-down), not stream order") {
+    // place the BOTTOM line first in the stream via Tm jumps
+    val content = "BT /F1 12 Tf 1 0 0 1 72 100 Tm (unten) Tj " +
+      "1 0 0 1 72 700 Tm (oben) Tj ET"
+    val pdf = handPdf(content)
+    assert(texts(PdfExtract.extract(pdf, "d")) == Seq("oben", "unten"))
+  }
+
+  test("FlateDecode content stream == plain content stream") {
+    val pages = Seq(Seq((72.0, 700.0, "compressed content here")))
+    val plain = PdfExtract.extract(PdfWriter.render(pages, flate = false), "d")
+    val flate = PdfExtract.extract(PdfWriter.render(pages, flate = true), "d")
+    assert(plain == flate)
+    assert(texts(plain) == Seq("compressed", "content", "here"))
+  }
+
+  test("multi-page: page order and per-page refs") {
+    val pdf = PdfWriter.render(Seq(
+      Seq((72.0, 700.0, "page one")),
+      Seq((72.0, 700.0, "page two"))))
+    val spans = PdfExtract.extract(pdf, "d")
+    assert(texts(spans) == Seq("page", "one", "page", "two"))
+    assert(spans.map(_.media_ref).distinct ==
+      Seq("line://pdf/p0/l0", "line://pdf/p1/l0"))
+  }
+
+  test("string syntax corners: escapes, octal, hex, TJ arrays, quote ops") {
+    val content = "BT /F1 12 Tf 72 700 Td " +
+      "[(Kern) -120 (ed)] TJ " +                 // TJ: strings concatenate
+      "(\\(paren\\) \\\\back) Tj " +             // escaped parens + backslash
+      "(\\101\\102) Tj " +                       // octal AB
+      "<486921> Tj " +                           // hex "Hi!"
+      "0 -20 Td (next) Tj " +
+      "14 TL (line3) ' ET"                       // ' = T* then show
+    val spans = PdfExtract.extract(handPdf(content), "d")
+    assert(texts(spans) ==
+      Seq("Kerned", "(paren)", "\\back", "AB", "Hi!", "next", "line3"))
+    // ' moved one leading (14) below "next" → third line
+    assert(spans.map(_.media_ref).distinct.length == 3)
+  }
+
+  test("image XObjects become interleaved media spans") {
+    val pdf = PdfWriter.render(Seq(Seq((72.0, 700.0, "text then image"))),
+      withImage = true)
+    val spans = PdfExtract.extract(pdf, "d9")
+    assert(texts(spans) == Seq("text", "then", "image"))
+    val media = spans.filter(_.kind == Span.KindMedia)
+    assert(media.length == 1)
+    assert(media.head.media_ref == "media://d9/p0/Im0")
+    // Do comes after ET in the writer's stream → media span last
+    assert(media.head.offset == spans.length - 1)
+  }
+
+  test("contents arrays (multiple streams) concatenate in order") {
+    // handcraft: /Contents [A B]
+    val c1 = "BT /F1 12 Tf 72 700 Td (erster) Tj ET"
+    val c2 = "BT /F1 12 Tf 72 680 Td (zweiter) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [ 3 0 R ] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents [ 4 0 R 5 0 R ] >> endobj\n" +
+      s"4 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream endobj\n" +
+      s"5 0 obj << /Length ${c2.length} >>\nstream\n$c2\nendstream endobj\n" +
+      "%%EOF\n").getBytes(ISO_8859_1)
+    assert(texts(PdfExtract.extract(pdf, "d")) == Seq("erster", "zweiter"))
+  }
+
+  test("distributed extraction over Spark (mapPartitions path)") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      (s"doc$i", PdfWriter.render(Seq(Seq(
+        (72.0, 700.0, s"inhalt nummer $i"),
+        (72.0, 680.0, s"seite von doc$i"))), flate = i % 2 == 0))
+    }
+    val out = PdfExtract.extractDocs(rows.toDS()).collect()
+    assert(out.length == 40)
+    out.foreach { doc =>
+      val i = doc.doc_id.stripPrefix("doc")
+      assert(texts(doc.spans) == Seq("inhalt", "nummer", i, "seite", "von", s"doc$i"))
+    }
+  }
+
+  /** Wrap a raw content stream into a one-page PDF. */
+  private def handPdf(content: String): Array[Byte] =
+    ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [ 3 0 R ] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream endobj\n" +
+      "%%EOF\n").getBytes(ISO_8859_1)
+}
