@@ -39,6 +39,15 @@ object ClusterBench {
       spark.read.parquet(xmlPath).as[(String, String)]).toDF()
   }
 
+  /** PDF job: (doc_id, pdf binary) rows → from-scratch PDF text-layer
+    * parse (inflate + content-stream interpret + layout sort). */
+  private def pdfJob(spark: SparkSession, pdfPath: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    graft.parse.PdfExtract.extractDocs(
+      spark.read.parquet(pdfPath).as[(String, Array[Byte])]).toDF()
+  }
+
   def main(args: Array[String]): Unit = {
     val spansPath = args(0)
     val label = if (args.length > 1) args(1) else "run"
@@ -59,6 +68,7 @@ object ClusterBench {
         case "extract" => Bench.force(graft.stages.Extraction.pipeline(docs).toDF())
         case "dedup"   => Bench.force(dedupJob(docs)); spark.catalog.clearCache()
         case "parse"   => Bench.force(parseJob(spark, spansPath))
+        case "pdf"     => Bench.force(pdfJob(spark, spansPath))
         case other     => throw new IllegalArgumentException(s"unknown job '$other'")
       }
     }
@@ -101,6 +111,15 @@ object GenCorpus {
           graft.parse.AltoWriter.render(d),
           java.nio.charset.StandardCharsets.UTF_8)))
         .toDF("doc_id", "xml")
+      case "pdf" => docs.map { d =>
+          val tk = d.spans.filter(_.kind == graft.model.Span.KindText).map(_.text)
+          val lines = tk.grouped(8).zipWithIndex.map { case (ws, i) =>
+            (72.0, 720.0 - i * 14.0, ws.mkString(" "))
+          }.toSeq
+          val hasMedia = d.spans.exists(_.kind == graft.model.Span.KindMedia)
+          (d.doc_id, graft.parse.PdfWriter.render(Seq(lines),
+            flate = true, withImage = hasMedia))
+        }.toDF("doc_id", "pdf")
       case other => throw new IllegalArgumentException(s"unknown format '$other'")
     }
     table.repartition(files).write.mode("overwrite").parquet(out)

@@ -1442,11 +1442,71 @@ object Queries {
               CAST(1 AS INT) AS n_media
             FROM documents ORDER BY doc_id"""))
 
+  // repetition signals (the Gopher-rules repetition filter family):
+  // duplicate-token fraction, most-frequent-bigram mass, and
+  // adjacent-repeat fraction — the three cheapest detectors of
+  // degenerate/boilerplate text. Bigram mass is computed relationally
+  // (explode → count → max) so the exchange carries (doc, bigram)
+  // partial counts, never per-doc quadratic HOF work.
+  private val q58 = QueryDef("q58_repetition_signals",
+    (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")))
+      // NB: Spark's sequence(1, 0) DESCENDS instead of being empty, so
+      // single-token docs need the explicit guard
+      val bigramTop = base
+        .select(col("doc_id"), explode(when(col("n") >= 2,
+          transform(sequence(lit(1), col("n") - 1),
+            i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+          .as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_bg"))
+      base.join(bigramTop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          (round(lit(1.0) - size(array_distinct(col("tk"))).cast("double") / col("n"), 3)
+            + lit(0.0)).as("dup_tok_frac"),
+          coalesce(round(col("top_cnt").cast("double") / col("n_bg"), 3) + lit(0.0),
+            lit(0.0)).as("top_bigram_frac"),
+          when(col("n") >= 2,
+            round(size(filter(sequence(lit(1), col("n") - 1),
+              i => element_at(col("tk"), i) === element_at(col("tk"), i + 1)))
+              .cast("double") / (col("n") - 1), 3) + lit(0.0))
+            .otherwise(0.0).as("adjacent_rep_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+                len(string_split_regex(trim(text), '\s+')) AS n
+              FROM documents),
+            bg AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, n),
+                  i -> tk[i] || ' ' || tk[i + 1])) AS bg
+              FROM base WHERE n >= 2),
+            agg AS (
+              SELECT doc_id, max(cnt) AS top_cnt, CAST(sum(cnt) AS BIGINT) AS n_bg
+              FROM (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2)
+              GROUP BY 1)
+            SELECT base.doc_id, CAST(n AS INT) AS n_tokens,
+              round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / n, 3) + 0.0
+                AS dup_tok_frac,
+              coalesce(round(CAST(top_cnt AS DOUBLE) / n_bg, 3) + 0.0, 0.0)
+                AS top_bigram_frac,
+              CASE WHEN n >= 2 THEN
+                round(CAST(len(list_filter(range(1, n),
+                  i -> tk[i] = tk[i + 1])) AS DOUBLE) / (n - 1), 3) + 0.0
+              ELSE 0.0 END AS adjacent_rep_frac
+            FROM base LEFT JOIN agg USING (doc_id)
+            ORDER BY base.doc_id"""))
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }
