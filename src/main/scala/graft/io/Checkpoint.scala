@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * written atomically by Spark's output committer (temp + rename), so
   * a killed run leaves either a complete commit or none — resume is
   * idempotent. Output data for partition `p` lives under
-  * `<root>/data/p_<p>/` and is overwritten wholesale on retry
-  * (MERGE-style per-partition overwrite, the sandbox stand-in for an
-  * Iceberg overwrite-partition commit).
+  * `<root>/data/p_<p>/a_<attempt>/`.
+  *
+  * The MERGE-style commit source of truth is the snapshot-manifest
+  * layer ([[SnapshotStore]]): immutable versioned manifests + fresh
+  * attempt dirs give overwrite-partition semantics and snapshot
+  * isolation; these per-partition markers remain as the backup
+  * pre-image location and a lineage mirror.
   *
   * Scale note: the checkpoint table is O(#partitions), never O(#docs);
   * pruning is an in-driver set difference at planning time (the

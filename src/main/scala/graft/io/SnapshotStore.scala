@@ -1,0 +1,127 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-manifest table layout — the MERGE-style commit semantics
+  * of an Iceberg table (overwrite-partition + snapshot isolation),
+  * implemented on plain files because the Iceberg runtime jar cannot
+  * be vendored in this sandbox (ROUND3_NOTES #7):
+  *
+  *  - data for partition `p`, attempt `t` lives under
+  *    `<root>/data/p_<p>/a_<t>/` — attempts NEVER overwrite in place;
+  *  - `<root>/snapshots/v<N>.manifest` is an immutable JSON-lines file
+  *    listing every partition's current data path + lineage metrics;
+  *  - a commit writes the new data dir, then writes the next manifest
+  *    to a temp name and RENAMES it to `v<N+1>.manifest` — rename to a
+  *    fresh name is atomic on HDFS/local, so a manifest either exists
+  *    completely or not at all;
+  *  - the current snapshot IS the max-N manifest (no mutable pointer
+  *    file — nothing is ever overwritten, so no swap race);
+  *  - readers pin a version: `read(version)` unions exactly that
+  *    manifest's paths — a consistent view no concurrent commit can
+  *    tear (snapshot isolation); a killed run leaves at most orphan
+  *    data dirs and `_tmp.` files, never a visible half-commit;
+  *  - re-committing a partition points the new manifest at the new
+  *    attempt dir — the overwrite-partition MERGE, as metadata only.
+  *
+  * Single-writer (the driver), like the reference's one-pipeline-per-
+  * corpus marker protocol (ocr_pipeline.py:160-199).
+  */
+final class SnapshotStore(spark: SparkSession, root: String) {
+
+  /** One manifest line: a partition's committed state. */
+  final case class Entry(part: Int, path: String, nDocs: Long,
+      nSpans: Long, nFailures: Long, committedAt: String)
+
+  private val snapDir = s"$root/snapshots"
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fresh (never-reused) data location for an attempt at partition p. */
+  def newDataPath(part: Int): String =
+    s"$root/data/p_$part/a_${System.nanoTime()}"
+
+  /** Highest committed snapshot version, if any. */
+  def currentVersion(): Option[Long] = {
+    val dir = new Path(snapDir)
+    if (!fs.exists(dir)) None
+    else {
+      val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** The entries of a snapshot (default: current). */
+  def entries(version: Option[Long] = None): Map[Int, Entry] = {
+    val v = version.orElse(currentVersion()).getOrElse(return Map.empty)
+    val in = fs.open(new Path(snapDir, s"v$v.manifest"))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(parseLine).map(e => e.part -> e).toMap
+    } finally in.close()
+  }
+
+  /** Commit partition `part` at `dataPath` into a new snapshot:
+    * carries every other partition's entry forward, replaces this
+    * partition's (MERGE/overwrite-partition). Returns the version. */
+  def commit(part: Int, dataPath: String, nDocs: Long, nSpans: Long,
+      nFailures: Long): Long = {
+    val cur = currentVersion()
+    val next = cur.getOrElse(0L) + 1
+    val merged = entries(cur) + (part -> Entry(part, dataPath, nDocs,
+      nSpans, nFailures, java.time.Instant.now.toString))
+    val tmp = new Path(snapDir, s"_tmp.v$next.${System.nanoTime()}")
+    fs.mkdirs(new Path(snapDir))
+    val out = fs.create(tmp, true)
+    try {
+      val w = new java.io.OutputStreamWriter(out, "UTF-8")
+      merged.values.toSeq.sortBy(_.part).foreach { e =>
+        w.write(s"""{"part":${e.part},"path":${json(e.path)},"n_docs":${e.nDocs},""" +
+          s""""n_spans":${e.nSpans},"n_failures":${e.nFailures},""" +
+          s""""committed_at":${json(e.committedAt)}}""" + "\n")
+      }
+      w.flush()
+    } finally out.close()
+    // atomic publish: rename to a name that does not exist yet
+    if (!fs.rename(tmp, new Path(snapDir, s"v$next.manifest")))
+      throw new java.io.IOException(s"snapshot v$next publish failed (concurrent writer?)")
+    next
+  }
+
+  /** Partitions committed as of the current snapshot. */
+  def done(): Set[Int] = entries().keySet
+
+  /** Consistent read of the table at a snapshot (default: current):
+    * exactly the manifest's paths, immune to concurrent commits. */
+  def read(version: Option[Long] = None): DataFrame = {
+    val es = entries(version)
+    require(es.nonEmpty, "empty table: no committed snapshot")
+    spark.read.parquet(es.values.toSeq.sortBy(_.part).map(_.path): _*)
+  }
+
+  private def json(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def parseLine(line: String): Entry = {
+    def grabNum(k: String): Long = {
+      val m = java.util.regex.Pattern.compile("\"" + k + "\":(-?\\d+)").matcher(line)
+      require(m.find(), s"bad manifest line: $line"); m.group(1).toLong
+    }
+    def grabStr(k: String): String = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(line)
+      require(m.find(), s"bad manifest line: $line")
+      m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+    }
+    Entry(grabNum("part").toInt, grabStr("path"), grabNum("n_docs"),
+      grabNum("n_spans"), grabNum("n_failures"), grabStr("committed_at"))
+  }
+}

@@ -51,10 +51,16 @@ object ExtractMain {
       backup: Boolean = false, cfg: ExtractConfig = ExtractConfig()): Unit = {
     import spark.implicits._
     val ckpt = new Checkpoint(spark, outRoot)
+    // snapshot manifests are the commit source of truth (MERGE-style
+    // overwrite-partition + snapshot isolation; see SnapshotStore);
+    // the per-partition state markers remain as the backup/pre-image
+    // location and a best-effort mirror for Checkpoint API users
+    val snap = new graft.io.SnapshotStore(spark, outRoot)
     val docs = spark.read.parquet(inPath)
       .withColumn("part", pmod(xxhash64(col("doc_id")), lit(nParts)).cast("int"))
 
-    val todo = ckpt.pending(0 until nParts)
+    val done = snap.done()
+    val todo = (0 until nParts).filterNot(done.contains)
     println(s"[extract] partitions total=$nParts pending=${todo.size}")
 
     // S7: backup only when the config can actually modify content —
@@ -66,19 +72,24 @@ object ExtractMain {
       val slice = docs.filter($"part" === p).drop("part")
       if (doBackup)
         slice.write.mode(SaveMode.Overwrite).parquet(ckpt.backupPath(p))
-      // single pass: observe() collects lineage metrics during the write
+      // single pass: observe() collects lineage metrics during the write;
+      // every attempt writes a FRESH dir — commits replace metadata, not files
+      val attempt = snap.newDataPath(p)
       val (out, obs) = Extraction.observed(Extraction.pipeline(slice, cfg))
-      out.write.mode(SaveMode.Overwrite).parquet(ckpt.dataPath(p))
+      out.write.mode(SaveMode.Overwrite).parquet(attempt)
       val m = obs.get
       val (nDocs, nSpans, nUnest) = (m("docs_parsed").asInstanceOf[Long],
         m("spans_emitted").asInstanceOf[Long], m("docs_unestimated").asInstanceOf[Long])
       ckpt.commit(p, nDocs, nSpans, nUnest)
-      println(s"[extract] committed part=$p docs=$nDocs spans=$nSpans unestimated=$nUnest")
+      val v = snap.commit(p, attempt, nDocs, nSpans, nUnest)
+      println(s"[extract] committed part=$p snapshot=v$v docs=$nDocs " +
+        s"spans=$nSpans unestimated=$nUnest")
     }
 
-    // corpus report over all committed data (ocr_pipeline.py:233-269):
-    // summary (mean + bins + totals) and ratio-sorted detail (S11 .wtr)
-    val all = spark.read.parquet(s"$outRoot/data/p_*").as[graft.stages.ProcessedDoc]
+    // corpus report over the CURRENT SNAPSHOT (consistent view;
+    // ocr_pipeline.py:233-269): summary (mean + bins + totals) and
+    // ratio-sorted detail (S11 .wtr)
+    val all = snap.read().as[graft.stages.ProcessedDoc]
     val rep = Extraction.writeReport(all, s"$outRoot/report")
     println(s"[extract] report: mean=${rep.mean} bins=[${rep.b1},${rep.b2},${rep.b3},${rep.b4},${rep.b5}] " +
       s"total=${rep.n_total} invalid=${rep.n_invalid}")

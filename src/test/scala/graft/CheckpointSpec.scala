@@ -4,12 +4,13 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.SaveMode
 
-import graft.io.Checkpoint
+import graft.io.{Checkpoint, SnapshotStore}
 import graft.run.ExtractMain
 
 /** Checkpoint/resume protocol (T1/J1): kill-resume idempotence — a
-  * re-run after losing one partition's commit reprocesses exactly that
-  * partition and converges to the same corpus output. */
+  * re-run after losing commits reprocesses exactly the uncommitted
+  * partitions and converges to the same corpus output — plus the
+  * snapshot-manifest guarantees (MERGE-style replace, isolation). */
 class CheckpointSpec extends SparkSpecBase {
 
   test("resume reprocesses only uncommitted partitions, output identical") {
@@ -22,33 +23,62 @@ class CheckpointSpec extends SparkSpecBase {
       .write.mode(SaveMode.Overwrite).parquet(spansPath)
 
     ExtractMain.run(spark, spansPath, outRoot, nParts = 4)
-    val full = spark.read.parquet(s"$outRoot/data/p_*")
+    val snap = new SnapshotStore(spark, outRoot)
+    assert(snap.done() == Set(0, 1, 2, 3))
+    assert(snap.currentVersion().contains(4L)) // one snapshot per commit
+    val full = snap.read()
       .select($"doc_id", $"hit_ratio", $"n_words").as[(String, Double, Int)]
       .collect().sortBy(_._1).toSeq
     assert(full.size == 200)
 
-    // simulate a crash that lost partition 2's commit + data
-    val ckpt = new Checkpoint(spark, outRoot)
-    assert(ckpt.done() == Set(0, 1, 2, 3))
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete()
-    }
-    rmrf(new java.io.File(s"$outRoot/state/p_2"))
-    rmrf(new java.io.File(s"$outRoot/data/p_2"))
-    assert(ckpt.done() == Set(0, 1, 3))
-    assert(ckpt.pending(0 until 4) == Seq(2))
+    // simulate a crash that lost the last TWO commits: drop their
+    // manifests (a killed run can never leave a half-written manifest —
+    // publish is a rename to a fresh name)
+    new java.io.File(s"$outRoot/snapshots/v4.manifest").delete()
+    new java.io.File(s"$outRoot/snapshots/v3.manifest").delete()
+    assert(snap.done().size == 2)
+    val survivors = snap.done()
 
     ExtractMain.run(spark, spansPath, outRoot, nParts = 4)
-    val resumed = spark.read.parquet(s"$outRoot/data/p_*")
+    assert(snap.done() == Set(0, 1, 2, 3))
+    val resumed = snap.read()
       .select($"doc_id", $"hit_ratio", $"n_words").as[(String, Double, Int)]
       .collect().sortBy(_._1).toSeq
     assert(resumed == full)
-    assert(ckpt.done() == Set(0, 1, 2, 3))
 
-    // lineage carries per-partition metrics
+    // snapshot isolation: the v2 view still reads exactly the two
+    // surviving partitions — replaced/added commits never touched its
+    // attempt dirs
+    val v2 = snap.read(Some(2L))
+    assert(v2.count() < 200 && v2.count() > 0)
+    assert(snap.entries(Some(2L)).keySet == survivors)
+
+    // MERGE semantics: re-committing a partition repoints the manifest
+    // at a new attempt dir instead of overwriting data in place
+    val before = snap.entries(Some(2L))
+    val after = snap.entries()
+    survivors.foreach { p => assert(before(p).path == after(p).path) }
+
+    // legacy per-partition markers still carry lineage metrics
+    val ckpt = new Checkpoint(spark, outRoot)
     val lin = ckpt.lineage().collect()
     assert(lin.length == 4)
     assert(lin.map(_.getAs[Long]("n_docs")).sum == 200)
+  }
+
+  test("manifest publish is atomic: tmp files are invisible to readers") {
+    val tmp = Files.createTempDirectory("graft-snap").toString
+    val snap = new SnapshotStore(spark, tmp)
+    assert(snap.currentVersion().isEmpty && snap.done().isEmpty)
+    // a crashed writer leaves only a _tmp. file — readers ignore it
+    val dir = new java.io.File(s"$tmp/snapshots"); dir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/snapshots/_tmp.v1.123"), "{half")
+    assert(snap.currentVersion().isEmpty)
+    // a real commit then publishes v1 with the entry
+    val v = snap.commit(7, s"$tmp/data/p_7/a_1", 10, 20, 0)
+    assert(v == 1L)
+    assert(snap.done() == Set(7))
+    assert(snap.entries()(7).nSpans == 20)
   }
 }

@@ -84,7 +84,7 @@ class IngestAndSinksSpec extends SparkSpecBase {
       Span(Span.KindText, "ic)", "line://b/l0", 1))))
     docs.toDF().write.mode("overwrite").parquet(s"$tmp/in")
     ExtractMain.run(spark, s"$tmp/in", s"$tmp/out", nParts = 1, backup = false, cfg = cfg)
-    val out = spark.read.parquet(s"$tmp/out/data/p_*")
+    val out = new graft.io.SnapshotStore(spark, s"$tmp/out").read()
       .as[graft.stages.ProcessedDoc].collect().head
     // the ini's ordered dict (ic)→ich, s<→sc, <→c after entity decode)
     assert(out.spans.map(_.text) == Seq("das scöne", "ich"))
