@@ -102,6 +102,41 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     spark.read.parquet(es.values.toSeq.sortBy(_.part).map(_.path): _*)
   }
 
+  /** Expire history (the `expire_snapshots` maintenance op): keep the
+    * newest `keepLast` manifests, delete older ones, then garbage-
+    * collect every attempt dir no surviving manifest references.
+    * Readers pinned to an expired version lose time travel — that is
+    * the retention trade; the current view is untouched. Returns
+    * (#manifests deleted, #data dirs deleted). */
+  def expire(keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val dir = new Path(snapDir)
+    if (!fs.exists(dir)) return (0, 0)
+    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .sorted(Ordering.Long.reverse)
+    val (keep, drop) = versions.splitAt(keepLast)
+    val referenced = keep.flatMap(v => entries(Some(v)).values.map(_.path)).toSet
+    drop.foreach(v => fs.delete(new Path(snapDir, s"v$v.manifest"), false))
+    // orphan GC: attempt dirs under data/p_*/ not referenced by any
+    // surviving manifest
+    val dataDir = new Path(s"$root/data")
+    var removed = 0
+    if (fs.exists(dataDir)) {
+      fs.listStatus(dataDir).filter(_.isDirectory).foreach { pDir =>
+        fs.listStatus(pDir.getPath).filter(_.isDirectory).foreach { aDir =>
+          if (!referenced.contains(aDir.getPath.toUri.getPath) &&
+            !referenced.exists(r => new Path(r).toUri.getPath == aDir.getPath.toUri.getPath)) {
+            fs.delete(aDir.getPath, true)
+            removed += 1
+          }
+        }
+      }
+    }
+    (drop.size, removed)
+  }
+
   private def json(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""

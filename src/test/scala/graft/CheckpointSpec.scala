@@ -66,6 +66,33 @@ class CheckpointSpec extends SparkSpecBase {
     assert(lin.map(_.getAs[Long]("n_docs")).sum == 200)
   }
 
+  test("expire keeps the current view, GCs unreferenced attempt dirs") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-expire").toString
+    val snap = new SnapshotStore(spark, tmp)
+    def write(path: String, n: Int): String = {
+      spark.range(n).select($"id").write.parquet(path); path
+    }
+    // v1: part 0 attempt A; v2: part 1; v3: part 0 REPLACED by attempt B
+    val a = write(snap.newDataPath(0), 3)
+    snap.commit(0, a, 3, 3, 0)
+    val b = write(snap.newDataPath(1), 5)
+    snap.commit(1, b, 5, 5, 0)
+    val c = write(snap.newDataPath(0), 4)
+    snap.commit(0, c, 4, 4, 0)
+    assert(snap.read().count() == 9) // 4 + 5
+
+    val (mDropped, dirsDropped) = snap.expire(keepLast = 1)
+    assert(mDropped == 2)
+    assert(dirsDropped == 1, "exactly the replaced attempt dir is orphaned")
+    assert(!new java.io.File(a).exists())
+    assert(new java.io.File(b).exists() && new java.io.File(c).exists())
+    // current view intact; expired versions are gone
+    assert(snap.read().count() == 9)
+    assert(snap.currentVersion().contains(3L))
+    intercept[Exception](snap.read(Some(1L)).count())
+  }
+
   test("manifest publish is atomic: tmp files are invisible to readers") {
     val tmp = Files.createTempDirectory("graft-snap").toString
     val snap = new SnapshotStore(spark, tmp)
