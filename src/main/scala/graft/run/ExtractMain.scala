@@ -104,6 +104,12 @@ object ExtractMain {
       Extraction.writeWtr(all, wtrPath)
       println(s"[extract] wtr: $wtrPath")
     }
+    // optional snapshot maintenance: SPARK_GRAFT_EXPIRE=<keepLast>
+    // drops manifest history and GCs orphaned attempt dirs
+    sys.env.get("SPARK_GRAFT_EXPIRE").map(_.toInt).foreach { keep =>
+      val (m, d) = snap.expire(keep)
+      println(s"[extract] expired $m snapshots, removed $d orphan dirs (keepLast=$keep)")
+    }
     // A1/A2 corpus replacement statistics, reference `ſ:392` format
     // (ocr_pipeline.py:402-411) — O(#distinct keys) driver-side
     val stats = Extraction.corpusReplStats(all).collect()

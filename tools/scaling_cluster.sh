@@ -1,30 +1,51 @@
 #!/usr/bin/env bash
-# Reproduce the two-cluster-size scaling evidence (BENCH.md):
-# identical extraction job via spark-submit at 1 executor vs 4
-# executors (real executor JVMs), identical pre-generated input.
+# Reproduce the two-cluster-size scaling evidence (BENCH.md): identical
+# jobs via spark-submit at 1 vs 4 REAL executor JVMs, identical
+# pre-generated inputs, across all four stage families.
+#
+#   tools/scaling_cluster.sh            # extract family only (fast)
+#   tools/scaling_cluster.sh all        # extract + parse + dedup + pdf
+#
+# GC note: the alloc-heavy families (parse, dedup, pdf) need ParallelGC
+# to clear 0.8 efficiency at multi-executor scale — G1 measured
+# 0.71-0.78 (parse, r2) / 0.755-0.766 (dedup, r3) on identical jobs;
+# the narrow extract family is GC-insensitive.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-NDOCS="${1:-2000000}"
-SPANS="${2:-/tmp/graft_bench/spans2m}"
+MODE="${1:-extract}"
+NDOCS="${2:-2000000}"
 JAR=target/scala-2.13/ocrpipelinespark_2.13-0.1.0.jar
+PGC="spark.executor.extraJavaOptions=-XX:+UseParallelGC"
 
 sbt -batch package >/dev/null
-if [ ! -d "$SPANS" ]; then
-  SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.GenCorpus $SPANS $NDOCS skewed 128" | grep '"metric"'
-fi
 
-for m in "local-cluster[1,4,8192] n1x4" "local-cluster[4,4,8192] n4x4"; do
-  set -- $m
-  /opt/spark/bin/spark-submit --master "$1" --driver-memory 4g \
-    --class graft.ClusterBench "$JAR" "$SPANS" "$2" 2>/dev/null | grep '"metric"'
-done
-echo "efficiency = (docs_per_sec_n4x4 / docs_per_sec_n1x4) / 4  (target >= 0.8)"
-# Other stage families (see BENCH.md). Both alloc-heavy families (parse
-# AND dedup) need ParallelGC to clear 0.8 at multi-executor scale — G1
-# measures 0.71-0.78 (parse, r2) / 0.76 (dedup, r3) on the same jobs:
-#   dedup job:  spark-submit --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC \
-#                 ... graft.ClusterBench <spans> <label> dedup
-#   parse job:  sbt "runMain graft.GenCorpus /tmp/graft_bench/xml2m 2000000 skewed 128 xml"
-#               spark-submit --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC \
-#                 ... graft.ClusterBench /tmp/graft_bench/xml2m <label> parse
+gen() { # path format
+  if [ ! -d "$1" ]; then
+    SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.GenCorpus $1 $NDOCS skewed 128 $2" | grep '"metric"'
+  fi
+}
+
+run() { # family input job extraConf
+  local family="$1" input="$2" job="$3" conf="${4:-}"
+  local master size
+  for pair in "local-cluster[1,4,8192] n1x4" "local-cluster[4,4,8192] n4x4"; do
+    master="${pair% *}"; size="${pair#* }"
+    /opt/spark/bin/spark-submit --master "$master" --driver-memory 4g \
+      ${conf:+--conf "$conf"} \
+      --class graft.ClusterBench "$JAR" "$input" "${family}_${size}" "$job" \
+      2>/dev/null | grep '"metric"'
+  done
+}
+
+gen /tmp/graft_bench/spans2m spans
+run extract /tmp/graft_bench/spans2m extract
+
+if [ "$MODE" = "all" ]; then
+  gen /tmp/graft_bench/xml2m xml
+  gen /tmp/graft_bench/pdf2m pdf
+  run parse /tmp/graft_bench/xml2m   parse "$PGC"
+  run dedup /tmp/graft_bench/spans2m dedup "$PGC"
+  run pdf   /tmp/graft_bench/pdf2m   pdf   "$PGC"
+fi
+echo "efficiency per family = (docs_per_sec_n4x4 / docs_per_sec_n1x4) / 4  (target >= 0.8)"
