@@ -49,3 +49,6 @@ if [ "$MODE" = "all" ]; then
   run pdf   /tmp/graft_bench/pdf2m   pdf   "$PGC"
 fi
 echo "efficiency per family = (docs_per_sec_n4x4 / docs_per_sec_n1x4) / 4  (target >= 0.8)"
+# Skew-mitigation measurement (plain vs salted join under a 50%-hot key):
+#   spark-submit --master local-cluster[4,4,8192] --driver-memory 4g \
+#     --class graft.ClusterBench $JAR /tmp/graft_bench/spans2m skew skewjoin
