@@ -38,6 +38,37 @@ object StreamExtract {
       .start()
   }
 
+  /** Start an AvailableNow streaming-dedup pass: spans parquet dir →
+    * keepers parquet dir. Each document is fingerprinted (md5 of the
+    * joined text-span sequence) and only the FIRST carrier of a
+    * fingerprint — across this and every earlier tick, via the state
+    * store — is emitted ([[StreamDedup]]). The streaming twin of the
+    * batch exact-dedup (q20) as a CLI-reachable surface. */
+  def dedupAvailableNow(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(inDir)
+    val fps = stream
+      .select(col("doc_id"),
+        md5(concat_ws(" ", filter(col("spans"), s => s.getField("kind") === "text")
+          .getField("text"))).as("fp"))
+      .select(col("fp"), col("doc_id"))
+      .as[StreamDedup.FpDoc]
+    StreamDedup.dedup(fps).toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Windowed per-source quality monitoring over a processed-doc
     * stream: 10-minute tumbling mean hit ratio with a watermark —
     * the streaming analog of the corpus report (A4). */

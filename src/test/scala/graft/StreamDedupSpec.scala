@@ -33,6 +33,37 @@ class StreamDedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("file-stream dedup surface: keep-first across AvailableNow ticks") {
+    import spark.implicits._
+    import graft.model.{Doc, Span}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdd").toString
+    def doc(id: String, text: String) =
+      Doc(id, text.split(" ").zipWithIndex.map { case (t, i) =>
+        Span(Span.KindText, t, "line://b/l0", i)
+      }.toVector)
+
+    // tick 1: d2 duplicates d1's content
+    Seq(doc("d1", "gleicher inhalt hier"), doc("d2", "gleicher inhalt hier"),
+      doc("d3", "anderer text"))
+      .toDS().write.parquet(s"$tmp/in")
+    graft.streaming.StreamExtract
+      .dedupAvailableNow(spark, s"$tmp/in", s"$tmp/out", s"$tmp/ck")
+      .awaitTermination()
+    val t1 = spark.read.parquet(s"$tmp/out")
+      .select("keeper").as[String].collect().sorted.toSeq
+    assert(t1 == Seq("d1", "d3"))
+
+    // tick 2: a late copy of d1's content is dropped, a new doc kept
+    Seq(doc("d9", "gleicher inhalt hier"), doc("d4", "noch ein neuer"))
+      .toDS().write.mode("append").parquet(s"$tmp/in")
+    graft.streaming.StreamExtract
+      .dedupAvailableNow(spark, s"$tmp/in", s"$tmp/out", s"$tmp/ck")
+      .awaitTermination()
+    val t2 = spark.read.parquet(s"$tmp/out")
+      .select("keeper").as[String].collect().sorted.toSeq
+    assert(t2 == Seq("d1", "d3", "d4"))
+  }
+
   test("TTL variant: expired state re-admits a fingerprint; live state still dedups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
