@@ -102,6 +102,21 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     spark.read.parquet(es.values.toSeq.sortBy(_.part).map(_.path): _*)
   }
 
+  /** Compact a partition's data files (the `rewrite_data_files`
+    * maintenance op — incremental ticks accumulate small files):
+    * rewrite the current attempt dir into `targetFiles` files at a
+    * FRESH attempt path and commit the swap. Content-identical,
+    * metadata-only replacement — readers pinned to older versions keep
+    * the old files until [[expire]] garbage-collects them. */
+  def compact(part: Int, targetFiles: Int = 1): Long = {
+    val e = entries().getOrElse(part,
+      throw new NoSuchElementException(s"partition $part not committed"))
+    val dest = newDataPath(part)
+    spark.read.parquet(e.path).coalesce(targetFiles)
+      .write.parquet(dest)
+    commit(part, dest, e.nDocs, e.nSpans, e.nFailures)
+  }
+
   /** Expire history (the `expire_snapshots` maintenance op): keep the
     * newest `keepLast` manifests, delete older ones, then garbage-
     * collect every attempt dir no surviving manifest references.

@@ -93,6 +93,33 @@ class CheckpointSpec extends SparkSpecBase {
     intercept[Exception](snap.read(Some(1L)).count())
   }
 
+  test("compact rewrites a partition's small files, content-identical") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val snap = new SnapshotStore(spark, tmp)
+    val p = snap.newDataPath(0)
+    spark.range(1000).select($"id").repartition(8).write.parquet(p)
+    snap.commit(0, p, 1000, 1000, 0)
+    def files(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files(p) == 8)
+    val before = snap.read().as[Long].collect().sorted.toSeq
+
+    val v = snap.compact(0, targetFiles = 1)
+    assert(v == 2L)
+    val after = snap.entries()(0)
+    assert(after.path != p, "compaction must write a fresh attempt dir")
+    assert(files(after.path) == 1)
+    assert(snap.read().as[Long].collect().sorted.toSeq == before)
+    assert(after.nDocs == 1000) // lineage carried through
+
+    // the pre-compaction view still reads the old files until expire()
+    assert(snap.read(Some(1L)).count() == 1000)
+    val (_, gced) = snap.expire(keepLast = 1)
+    assert(gced == 1 && !new java.io.File(p).exists())
+    assert(snap.read().count() == 1000)
+  }
+
   test("manifest publish is atomic: tmp files are invisible to readers") {
     val tmp = Files.createTempDirectory("graft-snap").toString
     val snap = new SnapshotStore(spark, tmp)
