@@ -22,6 +22,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the JSON line is locale-sensitive through f"%.3f" — pin ROOT so
+    // a comma-decimal default locale can't break the driver's parse
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

@@ -89,6 +89,7 @@ object ClusterBench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON f"%.3f"
     val spansPath = args(0)
     val label = if (args.length > 1) args(1) else "run"
     val job = if (args.length > 2) args(2) else "extract"
@@ -165,11 +166,9 @@ object GenCorpus {
         .toDF("doc_id", "xml")
       case "pdf" => docs.map { d =>
           val tk = d.spans.filter(_.kind == graft.model.Span.KindText).map(_.text)
-          val lines = tk.grouped(8).zipWithIndex.map { case (ws, i) =>
-            (72.0, 720.0 - i * 14.0, ws.mkString(" "))
-          }.toSeq
           val hasMedia = d.spans.exists(_.kind == graft.model.Span.KindMedia)
-          (d.doc_id, graft.parse.PdfWriter.render(Seq(lines),
+          (d.doc_id, graft.parse.PdfWriter.render(
+            Seq(graft.parse.PdfWriter.layoutTokens(tk)),
             flate = true, withImage = hasMedia))
         }.toDF("doc_id", "pdf")
       case other => throw new IllegalArgumentException(s"unknown format '$other'")

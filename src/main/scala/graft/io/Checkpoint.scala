@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
   */
 final class Checkpoint(spark: SparkSession, root: String) {
 
+  // data locations are allocated per-attempt by SnapshotStore
+  // (newDataPath) — this class owns only state markers + backups
   private val statePath = s"$root/state"
-  def dataPath(part: Int): String = s"$root/data/p_$part"
 
   /** S7 — pre-image audit location for partition `p`: the input
     * snapshot written before the stage output overwrites anything

@@ -85,8 +85,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       }
       w.flush()
     } finally out.close()
-    // atomic publish: rename to a name that does not exist yet
-    if (!fs.rename(tmp, new Path(snapDir, s"v$next.manifest")))
+    // atomic publish: rename to a name that does not exist yet. The
+    // store is SINGLE-WRITER by contract (the driver); this check is
+    // best-effort lost-update detection, not a lock — HDFS rename
+    // refuses an existing target, but a POSIX local rename would
+    // silently replace it, so we probe first (TOCTOU-narrow, which is
+    // acceptable for a misconfiguration guard).
+    val target = new Path(snapDir, s"v$next.manifest")
+    if (fs.exists(target) || !fs.rename(tmp, target))
       throw new java.io.IOException(s"snapshot v$next publish failed (concurrent writer?)")
     next
   }
@@ -132,7 +138,11 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
       .sorted(Ordering.Long.reverse)
     val (keep, drop) = versions.splitAt(keepLast)
-    val referenced = keep.flatMap(v => entries(Some(v)).values.map(_.path)).toSet
+    // fully qualify BOTH sides before comparing: manifest entries may
+    // hold relative or scheme-less paths while listStatus returns
+    // qualified ones — a string mismatch here would GC live data
+    val referenced = keep.flatMap(v => entries(Some(v)).values.map(_.path))
+      .map(p => fs.makeQualified(new Path(p)).toString).toSet
     drop.foreach(v => fs.delete(new Path(snapDir, s"v$v.manifest"), false))
     // orphan GC: attempt dirs under data/p_*/ not referenced by any
     // surviving manifest
@@ -141,8 +151,7 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).filter(_.isDirectory).foreach { pDir =>
         fs.listStatus(pDir.getPath).filter(_.isDirectory).foreach { aDir =>
-          if (!referenced.contains(aDir.getPath.toUri.getPath) &&
-            !referenced.exists(r => new Path(r).toUri.getPath == aDir.getPath.toUri.getPath)) {
+          if (!referenced.contains(fs.makeQualified(aDir.getPath).toString)) {
             fs.delete(aDir.getPath, true)
             removed += 1
           }

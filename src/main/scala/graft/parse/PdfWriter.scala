@@ -14,6 +14,21 @@ object PdfWriter {
   private def esc(t: String): String =
     t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
+  /** PDF numbers use dot decimals; the locale-default formatter would
+    * emit comma decimals on de/fr JVMs and corrupt the stream. */
+  private def num(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+
+  /** Canonical token layout shared by the q57 round-trip fixture and
+    * the bench corpus generator (GenCorpus format=pdf): 8 tokens per
+    * line, 14 pt leading down from (72, 720). Keeping it in ONE place
+    * keeps the oracle's span-count invariant and the scaling corpus in
+    * sync. */
+  def layoutTokens(tokens: Seq[String]): Seq[(Double, Double, String)] =
+    tokens.grouped(8).zipWithIndex.map { case (ws, i) =>
+      (72.0, 720.0 - i * 14.0, ws.mkString(" "))
+    }.toSeq
+
   private def deflate(b: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(b); d.finish()
@@ -64,7 +79,8 @@ object PdfWriter {
       val body = new StringBuilder("BT /F1 12 Tf\n")
       var px = 0.0; var py = 0.0
       placements.foreach { case (x, y, t) =>
-        body.append(f"${x - px}%.2f ${y - py}%.2f Td (${esc(t)}) Tj\n")
+        body.append(num(x - px)).append(' ').append(num(y - py))
+          .append(" Td (").append(esc(t)).append(") Tj\n")
         px = x; py = y
       }
       body.append("ET\n")

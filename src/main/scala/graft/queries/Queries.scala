@@ -1423,10 +1423,8 @@ object Queries {
         .mapPartitions { it =>
           it.map { case (id, text) =>
             val tk = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
-            val lines = tk.grouped(8).zipWithIndex.map { case (ws, i) =>
-              (72.0, 720.0 - i * 14.0, ws.mkString(" "))
-            }.toSeq
-            (id, graft.parse.PdfWriter.render(Seq(lines),
+            (id, graft.parse.PdfWriter.render(
+              Seq(graft.parse.PdfWriter.layoutTokens(tk)),
               flate = true, withImage = true))
           }
         }

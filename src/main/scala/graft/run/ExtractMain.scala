@@ -101,7 +101,7 @@ object ExtractMain {
         .ofPattern("yyyy-MM-dd_HH-mm").withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.now())
       val wtrPath = s"$outRoot/report/corpus_$stamp.wtr"
-      Extraction.writeWtr(all, wtrPath)
+      Extraction.writeWtr(all, wtrPath, precomputed = Some(rep))
       println(s"[extract] wtr: $wtrPath")
     }
     // optional snapshot maintenance: SPARK_GRAFT_EXPIRE=<keepLast>

@@ -26,13 +26,18 @@ object IngestAny {
   case object FmtPdf extends Format
   case object FmtUnknown extends Format
 
-  /** Magic-byte / prologue sniff on the first bytes of the payload. */
+  /** Magic-byte / prologue sniff on the first bytes of the payload.
+    * A UTF-8 BOM is stripped at the BYTE level (after an ISO-8859-1
+    * decode it would read as three junk chars, not U+FEFF, and push
+    * BOM-prefixed XML to FmtUnknown). */
   def sniff(bytes: Array[Byte]): Format = {
-    if (bytes.length >= 4 && bytes(0) == '%' && bytes(1) == 'P' &&
-      bytes(2) == 'D' && bytes(3) == 'F') return FmtPdf
-    val head = new String(bytes, 0, math.min(bytes.length, 512),
+    val off = if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+      bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte) 3 else 0
+    if (bytes.length - off >= 4 && bytes(off) == '%' && bytes(off + 1) == 'P' &&
+      bytes(off + 2) == 'D' && bytes(off + 3) == 'F') return FmtPdf
+    val head = new String(bytes, off, math.min(bytes.length - off, 512),
       java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
-    val t = head.dropWhile(c => c.isWhitespace || c == '﻿')
+    val t = head.dropWhile(_.isWhitespace)
     if (t.startsWith("<!doctype html") || t.startsWith("<html")) FmtHtml
     else if (t.startsWith("<?xml") || t.startsWith("<alto") || t.startsWith("<pcgts"))
       FmtXml
@@ -75,16 +80,29 @@ object IngestAny {
     }
   }
 
-  /** Multi-root recursive binary scan (S1/S2/S3 over mixed formats). */
+  /** Multi-root recursive binary scan (S1/S2/S3 over mixed formats).
+    * doc_id is the file basename; when several files across the
+    * roots/subtrees share a basename, the colliders get a short path
+    * hash suffix so distinct documents never conflate under one id.
+    * The collision probe is a metadata-only pass (binaryFile prunes
+    * the content column), and the collider set is broadcast. */
   def readFiles(spark: SparkSession, paths: Seq[String],
       glob: String = "*.{xml,html,htm,pdf}"): Dataset[(String, Array[Byte])] = {
     import spark.implicits._
-    spark.read.format("binaryFile")
+    def load() = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", glob)
       .load(paths: _*)
+    val base = regexp_extract(col("path"), "([^/]+?)(\\.[A-Za-z0-9]+)?$", 1)
+    val colliders = load().select(base.as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).select(col("b"))
+    load()
+      .join(broadcast(colliders), base === col("b"), "left")
       .select(
-        regexp_extract(col("path"), "([^/]+)\\.[A-Za-z0-9]+$", 1).as("doc_id"),
+        when(col("b").isNotNull,
+          concat(base, lit("#"), substring(md5(col("path")), 1, 8)))
+          .otherwise(base).as("doc_id"),
         col("content"))
       .as[(String, Array[Byte])]
   }
@@ -107,11 +125,14 @@ object IngestAny {
     val docs = parseDocs(raw)
     docs.write.mode("overwrite").parquet(outPath)
 
-    docs.map(d => (d.doc_id, d.spans.length,
-        d.spans.count(_.kind == Span.KindText),
-        d.spans.count(_.kind == Span.KindMedia),
-        d.spans.count(_.kind == IngestXml.KindError)))
-      .toDF("doc_id", "n_spans", "n_text", "n_media", "n_err")
+    // summary from the WRITTEN parquet — a second pass over the raw
+    // corpus would re-run the whole parse (and double-count the
+    // accumulators) just to print counts
+    spark.read.parquet(outPath)
+      .select(col("doc_id"), size(col("spans")).as("n_spans"),
+        size(filter(col("spans"), s => s.getField("kind") === Span.KindText)).as("n_text"),
+        size(filter(col("spans"), s => s.getField("kind") === Span.KindMedia)).as("n_media"),
+        size(filter(col("spans"), s => s.getField("kind") === IngestXml.KindError)).as("n_err"))
       .orderBy("doc_id")
       .show(100, truncate = false)
     spark.stop()

@@ -272,8 +272,11 @@ object Extraction {
     * `sorted()` is stable on arrival order for equal ratios; arrival
     * order is undefined in a distributed engine, so ties break on
     * file_name. */
-  def writeWtr(processed: Dataset[ProcessedDoc], path: String): EstimationReport = {
-    val rep = report(processed)
+  def writeWtr(processed: Dataset[ProcessedDoc], path: String,
+      precomputed: Option[EstimationReport] = None): EstimationReport = {
+    // callers that just ran writeReport pass its result — recomputing
+    // here would run the corpus-wide aggregate a second time
+    val rep = precomputed.getOrElse(report(processed))
     val spark = processed.sparkSession
     import spark.implicits._
     val rows = processed

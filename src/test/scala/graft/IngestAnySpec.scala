@@ -63,4 +63,26 @@ class IngestAnySpec extends SparkSpecBase {
     // junk: one error row
     assert(out("broken").spans.map(_.kind) == Seq(graft.run.IngestXml.KindError))
   }
+
+  test("basename collisions across subtrees get distinct doc_ids; BOM'd XML parses") {
+    val tmp = Files.createTempDirectory("graft-coll").toString
+    Files.createDirectories(Paths.get(s"$tmp/a"))
+    Files.createDirectories(Paths.get(s"$tmp/b"))
+    val doc = graft.gen.CorpusGen.docs(spark, 1, "interleaved").collect().head
+    val xml = AltoWriter.render(doc)
+    Files.write(Paths.get(s"$tmp/a/0001.xml"), xml)
+    // same basename, different subtree, BOM-prefixed payload
+    Files.write(Paths.get(s"$tmp/b/0001.xml"),
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ xml)
+    Files.write(Paths.get(s"$tmp/a/unique.xml"), xml)
+
+    val out = IngestAny.parseDocs(IngestAny.readFiles(spark, Seq(tmp))).collect()
+    assert(out.length == 3)
+    val ids = out.map(_.doc_id).toSet
+    assert(ids.size == 3, s"conflated ids: $ids")
+    assert(ids.contains("unique"), "non-colliding basename stays unsuffixed")
+    assert(ids.count(_.startsWith("0001#")) == 2, s"colliders unsuffixed: $ids")
+    // the BOM'd copy parsed as XML (no error spans anywhere)
+    assert(out.forall(_.spans.forall(_.kind != graft.run.IngestXml.KindError)))
+  }
 }
