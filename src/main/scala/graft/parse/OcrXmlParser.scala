@@ -48,7 +48,6 @@ final case class RawLine(
     lineText: Option[String],
     lineCenterX: Option[Double],
     lineCenterY: Option[Double],
-    hasShape: Boolean,
     hasLineUnicode: Boolean = true,
     seq: Int = 0, // document-order event index (interleaving with media)
     shape: Vector[(Int, Int)] = Vector.empty)
@@ -103,11 +102,13 @@ final class OcrXmlParser {
     var lineText: Option[String] = None
     var lineUnicodeSeen = false // first line-level Unicode wins (lxml find)
     var lineCenter: Option[(Double, Double)] = None
-    var lineHasShape = false
     var lineShape: Vector[(Int, Int)] = Vector.empty
 
     // nesting trackers
     var blockStack: List[String] = Nil
+    var depth = 0 // element nesting depth (direct-child tests)
+    var lineDepth = -1
+    var wordDepth = -1
     var inWord = false
     var wordId = ""
     var wordText: Option[String] = None
@@ -131,6 +132,7 @@ final class OcrXmlParser {
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
+          depth += 1
           val local = r.getLocalName
           if (dialect == null) {
             val ns = Option(r.getNamespaceURI).getOrElse("")
@@ -142,6 +144,7 @@ final class OcrXmlParser {
               blockStack = Option(attr("ID")).orElse(Option(attr("id"))).getOrElse("") :: blockStack
             case "TextLine" =>
               inLine = true
+              lineDepth = depth
               lineSeq = eventSeq; eventSeq += 1
               lineId = Option(attr("ID")).orElse(Option(attr("id"))).getOrElse("")
               lineBlock = blockStack.headOption.getOrElse("")
@@ -149,7 +152,6 @@ final class OcrXmlParser {
               lineText = None
               lineUnicodeSeen = false
               lineCenter = None
-              lineHasShape = attr("HPOS") != null
               // ALTO rect → 4 corners (lib/ocr_model.py:93-98)
               lineShape = altoRect(attr("HPOS"), attr("VPOS"),
                 attr("WIDTH"), attr("HEIGHT"))
@@ -160,6 +162,7 @@ final class OcrXmlParser {
                 Option(content), None, None)
             case "Word" if inLine =>
               inWord = true
+              wordDepth = depth
               wordId = Option(attr("id")).getOrElse("")
               wordText = None
               wordUnicodeSeen = false
@@ -171,16 +174,23 @@ final class OcrXmlParser {
               unicodeDepth += 1
               textBuf.setLength(0)
             case "Coords" if inLine =>
-              val pts = attr("points")
-              val pairs = parsePoints(pts)
-              val center = centerOf(pairs)
-              if (inWord) wordCenter = center
-              else {
-                if (lineCenter.isEmpty) lineCenter = center
-                // PAGE polygon carried as-is (lib/ocr_model.py:160-173)
-                if (lineShape.isEmpty) lineShape = pairs
+              // lxml `find('ns:Coords')` matches the FIRST DIRECT child
+              // only (lib/ocr_model.py:121-145, :160-173) — a nested
+              // Glyph's Coords must not override the Word's own, and a
+              // Word's must not leak into the line's
+              val directWord = inWord && depth == wordDepth + 1
+              val directLine = !inWord && depth == lineDepth + 1
+              if (directWord || directLine) {
+                val pairs = parsePoints(attr("points"))
+                val center = centerOf(pairs)
+                if (directWord) {
+                  if (wordCenter.isEmpty) wordCenter = center
+                } else {
+                  if (lineCenter.isEmpty) lineCenter = center
+                  // PAGE polygon carried as-is (lib/ocr_model.py:160-173)
+                  if (lineShape.isEmpty) lineShape = pairs
+                }
               }
-              if (center.isDefined && !inWord) lineHasShape = true
             case "Illustration" =>
               media += RawMedia(Option(attr("ID")).getOrElse(""), "Illustration", eventSeq)
               eventSeq += 1
@@ -194,6 +204,7 @@ final class OcrXmlParser {
           if (unicodeDepth > 0) textBuf.append(r.getText)
 
         case XMLStreamConstants.END_ELEMENT =>
+          depth -= 1
           r.getLocalName match {
             case "Unicode" if unicodeDepth > 0 =>
               unicodeDepth -= 1
@@ -215,7 +226,7 @@ final class OcrXmlParser {
             case "TextLine" if inLine =>
               inLine = false
               lines += RawLine(lineId, lineBlock, lineWords.result(), lineText,
-                lineCenter.map(_._1), lineCenter.map(_._2), lineHasShape,
+                lineCenter.map(_._1), lineCenter.map(_._2),
                 lineUnicodeSeen, lineSeq, lineShape)
             case "TextBlock" | "TextRegion" | "ComposedBlock" =>
               if (blockStack.nonEmpty) blockStack = blockStack.tail
@@ -230,19 +241,28 @@ final class OcrXmlParser {
   }
 
   /** PAGE `Coords@points` → point pairs (lib/ocr_model.py:169-173's
-    * group-clustering idiom). Strict integer parsing like the
-    * reference's `int(...)`; empty when the attribute holds none. */
+    * group-clustering idiom). Malformed numbers yield an EMPTY shape
+    * (→ no center) rather than failing the whole parse: the reference
+    * only ever evaluates coords of lines that survive the min-length
+    * filter, so an eager strict parse here would fail documents the
+    * reference processes fine. For lines the reference DOES evaluate,
+    * the missing center surfaces as the same doc-level failure through
+    * buildPageLine's "Invalid Coords" (the reference's int() ValueError
+    * analog); documented divergence: a malformed wordless KEPT line is
+    * skipped where the reference would fail the doc. */
   private def parsePoints(points: String): Vector[(Int, Int)] = {
     if (points == null) return Vector.empty
     val toks = TextRules.splitWs(points)
     if (toks.isEmpty) return Vector.empty
     val vals = mutable.ArrayBuffer.empty[Int]
-    toks.foreach { t =>
-      t.split(",").foreach { n =>
-        val s = n.trim
-        if (s.nonEmpty) vals += java.lang.Integer.parseInt(s)
+    try {
+      toks.foreach { t =>
+        t.split(",").foreach { n =>
+          val s = n.trim
+          if (s.nonEmpty) vals += java.lang.Integer.parseInt(s)
+        }
       }
-    }
+    } catch { case _: NumberFormatException => return Vector.empty }
     val nPairs = vals.length / 2
     Vector.tabulate(nPairs)(i => (vals(2 * i), vals(2 * i + 1)))
   }
@@ -314,7 +334,11 @@ object OcrXmlParser {
             buildPageLine(l, reorder, vertical)
           } else None
         case None =>
-          if (l.words.nonEmpty)
+          // reference raises only when Word/TextEquiv/Unicode
+          // DESCENDANTS exist (findall length check,
+          // lib/ocr_model.py:238-244) — a Word without any Unicode is
+          // silently skipped with the line
+          if (l.words.exists(_.hasUnicode))
             throw ParseError(s"just words for line '${l.id}'")
           None
       }

@@ -25,6 +25,10 @@ final case class ProcessConfig(
   /** Dict keys pre-encoded for the stats map (built once per task). */
   @transient lazy val keysUtf8: Array[UTF8String] =
     replaceDict.map(kv => UTF8String.fromString(kv._1)).toArray
+  // hot-loop views: Seq.apply on a List-backed dict would be O(i) per
+  // access (O(k²) per span) and the tuple destructure allocates
+  @transient lazy val dictKeys: Array[String] = replaceDict.map(_._1).toArray
+  @transient lazy val dictVals: Array[String] = replaceDict.map(_._2).toArray
 }
 
 /** The whole per-document stage chain (C1 → C2 → F6 → S8 → line model
@@ -130,11 +134,13 @@ object ProcessSpans {
         var text = if (raw == null) "" else raw.toString
         val before = text
         if (isText) {
+          val dictKeys = cfg.dictKeys
+          val dictVals = cfg.dictVals
           var di = 0
           while (di < nKeys) {
-            val (k, v) = cfg.replaceDict(di)
+            val k = dictKeys(di)
             if (text.contains(k)) {
-              text = text.replace(k, v)
+              text = text.replace(k, dictVals(di))
               dictHits(di) += 1
             }
             di += 1

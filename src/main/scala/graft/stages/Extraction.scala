@@ -95,8 +95,11 @@ object Extraction {
   def toLines(spans: Seq[Span], minLineLen: Int, reorder: Boolean): Vector[Line] = {
     val lines = Vector.newBuilder[Line]
     var curKey: String = null
+    var started = false // a null line key still forms a group (the
+    // ProcessSpans codegen twin groups null keys too — using null as
+    // the 'no group yet' sentinel here silently dropped those spans)
     var curWords = Vector.newBuilder[String]
-    def flush(): Unit = if (curKey != null) {
+    def flush(): Unit = if (started) {
       val words = curWords.result()
       if (words.mkString(" ").length >= minLineLen)
         lines += Line(curKey, words, reorder)
@@ -104,7 +107,9 @@ object Extraction {
     spans.foreach { s =>
       if (s.kind == Span.KindText) {
         val key = Span.lineKey(s.media_ref)
-        if (key != curKey) { flush(); curKey = key; curWords = Vector.newBuilder[String] }
+        if (!started || key != curKey) {
+          flush(); curKey = key; curWords = Vector.newBuilder[String]; started = true
+        }
         curWords += s.text
       }
     }

@@ -3,7 +3,6 @@ package graft.text
 import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
 import java.util.regex.Pattern
 
-import scala.collection.immutable.ListMap
 import scala.collection.mutable
 
 /** Pure (driver- and executor-safe) text transformation rules.
@@ -124,10 +123,12 @@ object TextRules {
       var emit = true
       if (i < buf.length - 1 && line.endsWith("-")) {
         val next = buf(i + 1)
-        if (next.trim.isEmpty) {
+        // Python's `next_line.strip()` emptiness test ⟺ zero tokens
+        // under the same Unicode-whitespace rules as split()
+        val toks = splitWs(next)
+        if (toks.isEmpty) {
           emit = false // dropped: no merge possible, line skipped
         } else {
-          val toks = splitWs(next)
           buf(i + 1) = toks.drop(1).mkString(" ")
           line = line.substring(0, line.length - 1) + toks.head
           n += 1
@@ -139,10 +140,28 @@ object TextRules {
     (out.result(), n)
   }
 
-  /** Python `str.split()` — split on runs of whitespace, no empties. */
+  /** Python `str.split()` — split on runs of UNICODE whitespace, no
+    * empties. Python's `str.isspace()` covers Zs/Zl/Zp (including
+    * U+00A0 no-break space, common in OCR text) plus the control
+    * whitespace; on the JVM that is the union of
+    * `Character.isWhitespace` (controls, but NOT no-break spaces) and
+    * `Character.isSpaceChar` (Zs/Zl/Zp including no-break). Java's
+    * `"\\s"` regex matches ASCII whitespace only and silently
+    * diverges from the reference on such text. */
   def splitWs(s: String): Array[String] = {
-    val t = s.trim
-    if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    // U+0085 NEL: whitespace for Python but in neither Java predicate
+    @inline def ws(c: Char) = Character.isWhitespace(c) ||
+      Character.isSpaceChar(c) || c == '\u0085'
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && ws(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !ws(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.toArray
   }
 
   // -------------------------------------------------------------------
@@ -219,10 +238,17 @@ object TextRules {
 
   /** Histogram bin for one ratio: `floor(ratio / step)` clamped to
     * `bins - 1` (lib/ocr_step.py:441-443: `round(r // step)` then
-    * clamp — `round` on the floor-divided float is the identity). */
+    * clamp — `round` on the floor-divided float is the identity).
+    * A NEGATIVE index reproduces the reference's Python list-indexing
+    * quirk: `bin_counts[-k]` wraps to `bins - k` (so the `-1.0`
+    * sentinel lands in the LAST bin); below `-bins` the reference
+    * raises IndexError and the Scala caller's array access throws the
+    * same way. */
   def binIndex(ratio: Double, bins: Int = 5, step: Int = 15): Int = {
     val idx = math.floor(ratio / step).toInt
-    if (idx >= bins) bins - 1 else idx
+    if (idx >= bins) bins - 1
+    else if (idx < 0) bins + idx
+    else idx
   }
 
   /** Corpus mean + bin membership counts over (id, ratio) pairs
