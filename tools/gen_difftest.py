@@ -58,11 +58,20 @@ def textlines2data(lines, minlen=2):
 
 TOKENS = ['Die', 'Verſammlung', 'der', 'iſt.', 'a3"', '1849', '-', 'zu-',
           'Wort-', '..', 'x', 'ab', '  ', '', 'ic)', '(Amtlich)', '|.',
-          'Stadt-', 'e3-"', 'ab-', 'ſ', 'N.', '—', 'I']
+          'Stadt-', 'e3-"', 'ab-', 'ſ', 'N.', '—', 'I',
+          # Unicode-whitespace carriers: Python str.split()/strip()
+          # treat NBSP (U+00A0), figure space (U+2007), line separator
+          # (U+2028) and NEL (U+0085) as whitespace -- Java regex s-class
+          # does not, which round 3 fixed in TextRules.splitWs; these
+          # tokens keep that parity pinned by actual Python execution
+          'Wort\u00a0zwei', '\u00a0\u00a0', 'a\u0085b',
+          'links\u2007rechts', 'ober\u2028unter', '\u00a0rand']
+
+SEPS = [' ', ' ', ' ', ' ', '\u00a0', '\u2007']
 
 def rand_line(rng):
     n = rng.randint(0, 6)
-    return ' '.join(rng.choice(TOKENS) for _ in range(n))
+    return rng.choice(SEPS).join(rng.choice(TOKENS) for _ in range(n))
 
 def main():
     rng = random.Random(4242)
