@@ -35,7 +35,13 @@ object MinHashLsh {
   /** Candidate pairs sharing ≥1 of `k/rowsPerBand` bands: bucket docs
     * per (band, band-hash), expand intra-bucket pairs with a nested
     * transform, count shared bands per pair. Output:
-    * (d1, d2, n_bands), d1 < d2, ordered.
+    * (d1, d2, n_bands), d1 < d2.
+    *
+    * Two hash exchanges run on hash-width keys: the band bucketing and
+    * the pair-count aggregation (both map-side combined). `ordered`
+    * adds a THIRD, range-partitioned exchange for a total sort — only
+    * the oracle-parity twin (q24) needs it; production candidate
+    * generation at corpus scale should keep the default.
     *
     * The persist is a CollapseProject barrier: the band projection
     * feeds a Generate (explode), where codegen subexpression
@@ -48,7 +54,8 @@ object MinHashLsh {
     * quadratically — standard stop-fingerprint hygiene; 0 = unbounded).
     */
   def bandPairs(sigDf: DataFrame, k: Int, rowsPerBand: Int,
-      bandHash: (Column, Column) => Column, maxBucket: Int = 10000): DataFrame = {
+      bandHash: (Column, Column) => Column, maxBucket: Int = 10000,
+      ordered: Boolean = false): DataFrame = {
     require(rowsPerBand == 2, "current banding packs 2 rows per band")
     val sig = sigDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = k / rowsPerBand
@@ -66,12 +73,12 @@ object MinHashLsh {
     val bounded =
       if (maxBucket > 0) bucketed.filter(size(col("ids")) <= maxBucket)
       else bucketed
-    bounded
+    val pairs = bounded
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
           struct(a.as("d1"), b.as("d2")))))).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_bands"))
-      .orderBy(col("d1"), col("d2"))
+    if (ordered) pairs.orderBy(col("d1"), col("d2")) else pairs
   }
 }

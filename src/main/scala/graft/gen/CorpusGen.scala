@@ -45,7 +45,13 @@ object CorpusGen {
       case "uniform"     => (2 + rng.nextInt(20), 0.0)
       case "interleaved" => (2 + rng.nextInt(20), 0.05 + rng.nextDouble() * 0.10)
       case "skewed" =>
-        // Zipf-ish: ~1/1000 docs are mega-documents (large newspapers)
+        // Zipf-ish: ~1/1000 docs are mega-documents (large newspapers).
+        // NOTE `megaSpans` is a LINE budget divided by 8, and each line
+        // emits ~4.55 spans on average — a mega-doc therefore carries
+        // ~0.57 × megaSpans actual spans (megaSpans=50000 → ~28k). The
+        // formula is kept as-is so bench corpora stay byte-identical
+        // across rounds; size interpretation documented here and in
+        // BENCH.md rather than silently rescaled.
         if (mix64(id * 31 + 7) % 1000 == 0) (megaSpans / 8, 0.05)
         else (1 + rng.nextInt(8), 0.05)
       case "edge"        => (rng.nextInt(4), 0.10) // includes empty docs

@@ -74,13 +74,21 @@ final class Checkpoint(spark: SparkSession, root: String) {
       .parquet(s"$statePath/p_$p")
   }
 
-  /** Full lineage table (for inspection/metrics). */
+  /** Full lineage table (for inspection/metrics) — COMMITTED markers
+    * only, the same _SUCCESS gate as [[done]] (a crash can leave a
+    * file-less p_N dir; the bare glob would either surface that
+    * half-commit or fail schema inference when it is the only dir). */
   def lineage(): DataFrame = {
     val p = new Path(statePath)
-    if (!fs.exists(p) || fs.listStatus(p).isEmpty) {
+    val committed =
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq
+        .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+    if (committed.isEmpty) {
       import spark.implicits._
       Seq.empty[(Int, Long, Long, Long, String)]
         .toDF("part", "n_docs", "n_spans", "n_failures", "committed_at")
-    } else spark.read.parquet(s"$statePath/p_*").orderBy(col("part"))
+    } else spark.read.parquet(committed: _*).orderBy(col("part"))
   }
 }

@@ -49,10 +49,18 @@ object HtmlExtract {
         val semi = s.indexOf(';', i + 1)
         if (semi > i && semi - i <= 8) {
           val name = s.substring(i + 1, semi)
-          entities.get(name.toLowerCase) match {
+          entities.get(name.toLowerCase(java.util.Locale.ROOT)) match {
             case Some(rep) => sb.append(rep); i = semi + 1
             case None if name.startsWith("#") =>
-              val code = try Integer.parseInt(name.substring(1)) catch { case _: Exception => -1 }
+              // decimal (&#8217;) AND hex (&#x2019;) character refs
+              val digits = name.substring(1)
+              val code =
+                try {
+                  if (digits.length > 1 &&
+                    (digits.charAt(0) == 'x' || digits.charAt(0) == 'X'))
+                    Integer.parseInt(digits.substring(1), 16)
+                  else Integer.parseInt(digits)
+                } catch { case _: Exception => -1 }
               if (code >= 0) { sb.appendCodePoint(code); i = semi + 1 }
               else { sb.append(c); i += 1 }
             case None => sb.append(c); i += 1
@@ -61,6 +69,20 @@ object HtmlExtract {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** Case-insensitive substring search without copying/lowercasing the
+    * haystack (a full-document toLowerCase per raw-text element would
+    * be O(n²) and, worse, can CHANGE the string length — U+0130
+    * lowercases to two chars — misaligning every returned index). */
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      if (hay.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
   }
 
   private final case class Block(
@@ -106,7 +128,12 @@ object HtmlExtract {
     val text = new java.lang.StringBuilder
     var nLinkWords = 0
     var linkDepth = 0
-    var dropDepth = 0
+    // stack of OPEN boilerplate elements: a stray close tag (common in
+    // tag soup, e.g. a </script> left over from a raw-text skip) must
+    // not un-drop an UNRELATED enclosing subtree, so closes only pop
+    // when they match the innermost open drop element
+    var dropStack: List[String] = Nil
+    def dropDepth: Int = dropStack.length
     val images = mutable.ArrayBuffer.empty[String]
 
     def flush(): Unit = {
@@ -134,13 +161,16 @@ object HtmlExtract {
           else {
             val inner = html.substring(i + 1, close)
             val isEnd = inner.startsWith("/")
+            val selfClosing = !isEnd && inner.endsWith("/")
             val body = if (isEnd) inner.substring(1) else inner
-            val name = body.takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+            val name = body.takeWhile(ch => ch.isLetterOrDigit)
+              .toLowerCase(java.util.Locale.ROOT)
             if (name.nonEmpty) {
-              if (!isEnd && RawText.contains(name)) {
+              if (!isEnd && !selfClosing && RawText.contains(name)) {
                 // skip raw content to the matching close tag
+                // (case-insensitive scan, no document copy)
                 val endTag = s"</$name"
-                val idx = html.toLowerCase.indexOf(endTag, close + 1)
+                val idx = indexOfIgnoreCase(html, endTag, close + 1)
                 val after = if (idx < 0) n else html.indexOf('>', idx) match {
                   case -1 => n
                   case e  => e + 1
@@ -148,8 +178,12 @@ object HtmlExtract {
                 i = after
               } else {
                 if (DropSubtree.contains(name)) {
-                  if (!isEnd) { flush(); dropDepth += 1 }
-                  else if (dropDepth > 0) dropDepth -= 1
+                  // a self-closing boilerplate element (<iframe/>) has
+                  // an empty subtree: flush the block, push nothing
+                  if (!isEnd && !selfClosing) { flush(); dropStack = name :: dropStack }
+                  else if (!isEnd && selfClosing) flush()
+                  else if (dropStack.headOption.contains(name))
+                    dropStack = dropStack.tail
                 } else if (dropDepth == 0) {
                   name match {
                     case "a" =>
@@ -169,7 +203,10 @@ object HtmlExtract {
         }
       } else {
         if (dropDepth == 0) {
-          if (c.isWhitespace) {
+          // same whitespace class as the word counter (splitWs) —
+          // a plain isWhitespace here would undercount link words on
+          // NBSP-joined anchor text and skew the density gate
+          if (TextRules.isPyWhitespace(c)) {
             if (text.length() > 0 && text.charAt(text.length() - 1) != ' ')
               text.append(' ')
           } else {
@@ -213,7 +250,12 @@ object HtmlExtract {
           case _ =>
             val vStart = i
             while (i < n && !tagBody.charAt(i).isWhitespace) i += 1
-            value = Some(tagBody.substring(vStart, i))
+            var v = tagBody.substring(vStart, i)
+            // `<img src=pic.jpg/>`: the trailing self-closing slash is
+            // tag syntax, not part of the unquoted value (URLs keep
+            // their interior slashes)
+            if (i == n && v.endsWith("/")) v = v.substring(0, v.length - 1)
+            value = Some(v)
         }
       }
       if (attrName == name) return value

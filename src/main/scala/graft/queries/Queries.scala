@@ -437,7 +437,7 @@ object Queries {
   // keeps none either (the capped production path is q43/MinHashLsh).
   private val q24 = QueryDef("q24_minhash_lsh_pairs",
     (s, d) => graft.dedup.MinHashLsh.bandPairs(signatureDF(s, d), MinhashK, 2,
-      (a, b) => md5(concat_ws("_", a, b)), maxBucket = 0),
+      (a, b) => md5(concat_ws("_", a, b)), maxBucket = 0, ordered = true),
     Some(s"""WITH tt AS (
                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
                FROM documents),

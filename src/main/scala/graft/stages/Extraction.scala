@@ -140,7 +140,13 @@ object Extraction {
     }
     // X4 metadata enrichment (lib/ocr_step.py:539-549): identifier =
     // id up to the first dot (split_path semantics), name = full id
-    val fileId = doc.doc_id.split("\\.")(0)
+    // substring_index semantics, matching the codegen twin exactly:
+    // split("\\.")(0) drops trailing empties and would throw on a
+    // doc_id of only dots where the twin returns ""
+    val fileId = {
+      val dot = doc.doc_id.indexOf('.')
+      if (dot < 0) doc.doc_id else doc.doc_id.substring(0, dot)
+    }
     ProcessedDoc(doc.doc_id, doc.spans, cfg.pagePrefix + fileId,
       fileId, doc.doc_id, ratio, nWords, nErrs, nIn, nWraps, nShorts, nOut)
   }

@@ -148,10 +148,16 @@ object TextRules {
     * `Character.isSpaceChar` (Zs/Zl/Zp including no-break). Java's
     * `"\\s"` regex matches ASCII whitespace only and silently
     * diverges from the reference on such text. */
+  /** Python `str.isspace()` for one char: Java's isWhitespace plus the
+    * Zs/Zl/Zp separators (isSpaceChar, incl. U+00A0 NBSP) plus U+0085
+    * NEL (in neither Java predicate). Shared by [[splitWs]] and every
+    * tokenizer that must agree with it (HtmlExtract's link-density
+    * word counting). */
+  @inline def isPyWhitespace(c: Char): Boolean =
+    Character.isWhitespace(c) || Character.isSpaceChar(c) || c == '\u0085'
+
   def splitWs(s: String): Array[String] = {
-    // U+0085 NEL: whitespace for Python but in neither Java predicate
-    @inline def ws(c: Char) = Character.isWhitespace(c) ||
-      Character.isSpaceChar(c) || c == '\u0085'
+    @inline def ws(c: Char) = isPyWhitespace(c)
     val out = mutable.ArrayBuffer.empty[String]
     var i = 0
     val n = s.length

@@ -76,6 +76,36 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(HtmlExtract.extract("plain words only here", "x").spans.size == 4)
   }
 
+  test("tag-soup robustness: stray closes, self-closing drops, hex entities, slash values") {
+    def texts(html: String) =
+      HtmlExtract.extract(html, "x").spans
+        .filter(_.kind == graft.model.Span.KindText).map(_.text)
+
+    // a stray </script> inside <nav> must NOT un-drop the nav subtree
+    assert(texts("<nav>menu stuff here</script>junk leak words</nav>" +
+      "<p>echter inhalt mit worten</p>") ==
+      Vector("echter", "inhalt", "mit", "worten"))
+
+    // a self-closing boilerplate element has an empty subtree — it must
+    // not swallow the rest of the document
+    assert(texts("<p>davor text hier</p><iframe/><p>danach text auch</p>") ==
+      Vector("davor", "text", "hier", "danach", "text", "auch"))
+
+    // hexadecimal character references decode like decimal ones
+    assert(texts("<p>it&#x2019;s done &#8217;too&#x2019;</p>") ==
+      Vector("it’s", "done", "’too’"))
+
+    // uppercase tags are recognized (Locale.ROOT lowercasing) and the
+    // raw-text skip is case-insensitive
+    assert(texts("<SCRIPT>var x=1;</SCRIPT><P>grossbuchstaben tags gehen</P>") ==
+      Vector("grossbuchstaben", "tags", "gehen"))
+
+    // unquoted src keeps interior slashes, drops only the self-closing one
+    val m = HtmlExtract.extract("<p>bild folgt jetzt</p><img src=http://h/p.jpg/>", "d")
+      .spans.filter(_.kind == graft.model.Span.KindMedia)
+    assert(m.map(_.media_ref) == Vector("media://d/img0#http://h/p.jpg"))
+  }
+
   test("extraction pipeline consumes HTML-derived spans end-to-end") {
     // spans from HTML run through the same downstream stage chain
     val doc = graft.model.Doc("h1", HtmlExtract.extract(page, "h1").spans)
