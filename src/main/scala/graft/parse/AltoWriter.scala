@@ -14,7 +14,15 @@ import graft.model.{Doc, Span}
   * `Illustration` elements carrying their placeholder ref as FILEID.
   * Round-trip guarantee: `OcrXmlParser.parse` + `toSpans` over the
   * rendered document reproduces the span sequence
-  * `(kind, text, media_ref, order)` (offsets re-densified).
+  * `(kind, text, media_ref, order)` (offsets re-densified; chars
+  * illegal in XML 1.0 are the documented lossy edge → U+FFFD).
+  *
+  * Known schema caveat: a media span interleaved INSIDE a block's text
+  * reopens that `TextBlock`/`TextLine` under the same ID — the
+  * engine's own round trip is exact (refs derive from those IDs), but
+  * an xsd:ID-validating external consumer would flag the duplicates;
+  * renaming would break span-ref equality, so the trade is documented
+  * rather than hidden.
   */
 object AltoWriter {
 
@@ -30,6 +38,14 @@ object AltoWriter {
         case '>'  => sb.append("&gt;")
         case '"'  => sb.append("&quot;")
         case '\'' => sb.append("&apos;")
+        // attribute-value normalization would fold raw TAB/CR/LF into
+        // spaces on re-parse — numeric refs keep the round trip exact
+        case '\t' => sb.append("&#9;")
+        case '\n' => sb.append("&#10;")
+        case '\r' => sb.append("&#13;")
+        // chars illegal in XML 1.0 (possible via HTML/PDF ingest)
+        // cannot be represented at all: U+FFFD, documented lossy edge
+        case c if c < ' ' => sb.append('�')
         case c    => sb.append(c)
       }
       i += 1
@@ -37,13 +53,20 @@ object AltoWriter {
     sb.toString
   }
 
+  /** Basename before the first dot (Python-`split('.')[0]` semantics:
+    * all-dot ids yield "", never an exception). */
+  private def stem(id: String): String = {
+    val dot = id.indexOf('.')
+    if (dot < 0) id else id.substring(0, dot)
+  }
+
   /** Render one document to canonical ALTO v3 bytes (CRLF, UTF-8). */
   def render(doc: Doc): Array[Byte] = {
     val lines = new scala.collection.mutable.ArrayBuffer[String]
     lines += """<?xml version="1.0" encoding="UTF-8"?>"""
     lines += s"""<alto xmlns="$NsV3">"""
-    lines += s"""  <Description><sourceImageInformation><fileIdentifier>${esc(doc.doc_id.split("\\.")(0))}</fileIdentifier><fileName>${esc(doc.doc_id)}</fileName></sourceImageInformation></Description>"""
-    lines += s"""  <Layout><Page ID="p${esc(doc.doc_id.split("\\.")(0))}"><PrintSpace>"""
+    lines += s"""  <Description><sourceImageInformation><fileIdentifier>${esc(stem(doc.doc_id))}</fileIdentifier><fileName>${esc(doc.doc_id)}</fileName></sourceImageInformation></Description>"""
+    lines += s"""  <Layout><Page ID="p${esc(stem(doc.doc_id))}"><PrintSpace>"""
 
     val sorted = doc.spans.sortBy(_.offset)
     var openBlock: String = null

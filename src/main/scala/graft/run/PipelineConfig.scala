@@ -18,7 +18,10 @@ object PipelineConfig {
     val idx = path.lastIndexOf('/')
     val dir = if (idx < 0) "" else path.substring(0, idx)
     val name = path.substring(idx + 1)
-    (dir, name.split("\\.")(0))
+    // Python "..".split('.')[0] == "" — Java split drops trailing
+    // empties and would throw on an all-dots basename
+    val dot = name.indexOf('.')
+    (dir, if (dot < 0) name else name.substring(0, dot))
   }
 
   /** C11 — dict2line (lib/ocr_step.py:49-55): ordered params map to a
@@ -37,10 +40,16 @@ object PipelineConfig {
     val body = s.replace("{", "").replace("}", "")
     val tokens = body.split(",")
     if (tokens.length <= 1) Seq.empty
-    else tokens.toSeq.flatMap { tkn =>
-      val kv = tkn.split(":", 2)
-      if (kv.length == 2) Some(unquote(kv(0).trim) -> unquote(kv(1).trim))
-      else None
+    else tokens.toSeq.map { tkn =>
+      // reference `tkn.split(':')[1]` (lib/ocr_step.py:203-204): the
+      // value is the segment between the FIRST and SECOND colon (a
+      // second colon truncates), and a colon-less token is an
+      // IndexError — mirrored as a config error, not a silent skip
+      val kv = tkn.split(":")
+      if (kv.length < 2)
+        throw new IllegalArgumentException(
+          s"malformed dict entry '$tkn' (reference parse_dict raises IndexError)")
+      unquote(kv(0).trim) -> unquote(kv(1).trim)
     }
   }
 
@@ -77,8 +86,15 @@ object PipelineConfig {
     params.remove("extra").flatten.filter(_.nonEmpty).foreach { x =>
       params.put(x, None)
     }
-    private val models: Option[String] =
-      params.remove("model_configs").flatten.orElse(params.remove("-l").flatten)
+    // reference precedence (lib/ocr_step.py:148-156): BOTH keys are
+    // always consumed and an explicit `-l` OVERRIDES model_configs
+    // (even a valueless `-l` flag, which suppresses the model entirely);
+    // the surviving value is re-inserted at the current tail
+    private val models: Option[String] = {
+      val fromConfigs = params.remove("model_configs").flatten
+      val lEntry = params.remove("-l")
+      if (lEntry.isDefined) lEntry.get else fromConfigs
+    }
     models.foreach(m => params.put("-l", Some(m)))
 
     private val outputConfigs: Seq[String] =

@@ -82,7 +82,7 @@ object Md5MinHash {
 
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(text: UTF8String, k: Int): GenericArrayData = {
-    val toks = TextRules.splitWs(text.toString)
+    val toks = TextRules.sparkTokens(text.toString)
     val md = md5Pool.get()
     val mins = new Array[Array[Byte]](k)
     val prefixes = prefixesFor(k)

@@ -46,7 +46,7 @@ object MinHashSig {
 
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(text: UTF8String, k: Int): GenericArrayData = {
-    val toks = TextRules.splitWs(text.toString)
+    val toks = TextRules.sparkTokens(text.toString)
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val sb = new java.lang.StringBuilder(64)

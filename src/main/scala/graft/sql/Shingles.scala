@@ -36,7 +36,7 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
 object Shingles {
 
   def compute(text: UTF8String, n: Int): GenericArrayData = {
-    val toks = TextRules.splitWs(text.toString)
+    val toks = TextRules.sparkTokens(text.toString)
     val seen = new java.util.LinkedHashSet[String]
     val sb = new java.lang.StringBuilder(64)
     if (toks.length >= n) {

@@ -42,12 +42,11 @@ object SimHash16 {
   }
 
   /** Static entry point shared by interpreted eval and generated code.
-    * Empty/whitespace-only text yields ONE empty token — Spark's
-    * `split(trim(x), "\\s+")` and DuckDB's `string_split_regex` both
-    * return `[""]` there, and the oracle is defined against that. */
+    * Tokenization is [[TextRules.sparkTokens]] — the EXACT
+    * `split(trim(x), "\\s+")` the DuckDB oracle computes, including
+    * the `[""]` empty-text case and edge empties. */
   def compute(text: UTF8String): Long = {
-    val ws = TextRules.splitWs(text.toString)
-    val toks = if (ws.isEmpty) Array("") else ws
+    val toks = TextRules.sparkTokens(text.toString)
     val seen = new java.util.HashSet[String](toks.length * 2)
     val votes = new Array[Int](16)
     val md = md5Pool.get()

@@ -37,22 +37,8 @@ object SpanOps {
       replace(acc, lit(k), lit(v))
     })
 
-  /** A1 — per-document replacement statistics: for key `i`, the number
-    * of text spans containing it *after* keys 0..i-1 were applied
-    * (lib/ocr_step.py:247-250 counts once per line). Returns one count
-    * column per key, for use with `observe()`/aggregation. */
-  def replaceCharStats(spans: Column, dict: Seq[(String, String)]): Seq[(String, Column)] =
-    dict.indices.map { i =>
-      val prefix = dict.take(i)
-      val key = dict(i)._1
-      val cnt = size(filter(spans, s => {
-        val cur = prefix.foldLeft(s.getField("text")) { case (acc, (k, v)) =>
-          replace(acc, lit(k), lit(v))
-        }
-        s.getField("kind") === KindText && cur.contains(lit(key))
-      }))
-      key -> cnt
-    }
+  // (A1 replacement statistics live in ProcessSpans / Extraction
+  // .replStatsOf; an unused column-based variant was removed in r3)
 
   /** C3 — strip the five directional/BOM marks (lib/ocr_model.py:23-29). */
   def stripMarks(spans: Column): Column =

@@ -9,6 +9,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * counterpart of the batch sessionization query (q14): per-user
   * session counting with a gap timeout, state carried across
   * micro-batches.
+  *
+  * CONTRACT (same deployment shape as [[StreamDedup.dedup]]):
+  * AvailableNow ticks over an in-order-per-user source. Events are
+  * sorted within each batch, but a LATE event arriving in a later
+  * batch than a newer one cannot split a session retroactively (the
+  * batch q14 would — this is the usual streaming/batch sessionization
+  * trade; bound it with a watermarked source). State is one row per
+  * user with no TTL — bounded by the user population, not the event
+  * volume; a continuous deployment wanting expiry should mirror
+  * [[StreamDedup.dedupTtl]]'s EventTimeTimeout pattern.
   */
 object Sessionize {
 

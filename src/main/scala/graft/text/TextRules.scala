@@ -156,6 +156,23 @@ object TextRules {
   @inline def isPyWhitespace(c: Char): Boolean =
     Character.isWhitespace(c) || Character.isSpaceChar(c) || c == '\u0085'
 
+  /** EXACT `split(trim(x), "\\s+")` semantics of the Spark/DuckDB
+    * engines, for the ORACLE-PAIRED one-pass expressions (Md5MinHash,
+    * SimHash16, Shingles, MinHashSig): trim strips 0x20 spaces only
+    * (Spark's UTF8String.trim / DuckDB trim), the split is ASCII
+    * `\s+` with limit -1 (leading/trailing empty tokens kept, `[""]`
+    * on empty input). NOT interchangeable with [[splitWs]], which
+    * implements PYTHON str.split() for the reference-parity chain —
+    * the two differ on Unicode whitespace and edge empties, and each
+    * twin must match ITS spec. */
+  def sparkTokens(s: String): Array[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).split("\\s+", -1)
+  }
+
   def splitWs(s: String): Array[String] = {
     @inline def ws(c: Char) = isPyWhitespace(c)
     val out = mutable.ArrayBuffer.empty[String]

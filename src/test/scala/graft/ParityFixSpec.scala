@@ -82,6 +82,21 @@ class ParityFixSpec extends SparkSpecBase {
     assert(TextRules.binIndex(100.0) == 4)
   }
 
+  test("sparkTokens == actual Spark split(trim(x), \\s+) on hostile edges") {
+    import org.apache.spark.sql.functions.{col, split, trim}
+    import spark.implicits._
+    // NBSP and NEL are NOT \s for Spark; trailing tab survives trim;
+    // empty text yields [""] — the oracle-paired expressions must see
+    // exactly what the DuckDB/Spark SQL side sees
+    val texts = Seq("Wort\u00a0zwei drei", "x\t", "", "   ", "  a  b  ",
+      "a\u0085b", "\tfront", "end\n")
+    val viaSpark = texts.toDF("t")
+      .select(split(trim(col("t")), "\\s+").as("tk"))
+      .as[Seq[String]].collect().toSeq
+    val viaHelper = texts.map(t => graft.text.TextRules.sparkTokens(t).toSeq)
+    assert(viaSpark == viaHelper)
+  }
+
   test("null media_ref spans form a line in BOTH pipeline twins") {
     import spark.implicits._
     val doc = Doc("d1", Seq(
