@@ -53,6 +53,16 @@ object MinHashLsh {
     * thousands of docs carries no near-dup signal and would expand
     * quadratically — standard stop-fingerprint hygiene; 0 = unbounded).
     */
+  /** Intra-bucket pair expansion: an id-array column → exploded
+    * `(d1, d2)` structs with d1 < d2 for a SORTED input array. The
+    * 1-based slice bounds are subtle — this single definition is
+    * shared by [[bandPairs]] and the winnowing candidate query (q36)
+    * so they cannot drift. */
+  def pairsOf(ids: Column): Column =
+    explode(flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, size(ids)), b =>
+        struct(a.as("d1"), b.as("d2"))))))
+
   def bandPairs(sigDf: DataFrame, k: Int, rowsPerBand: Int,
       bandHash: (Column, Column) => Column, maxBucket: Int = 10000,
       ordered: Boolean = false): DataFrame = {
@@ -74,9 +84,7 @@ object MinHashLsh {
       if (maxBucket > 0) bucketed.filter(size(col("ids")) <= maxBucket)
       else bucketed
     val pairs = bounded
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-          struct(a.as("d1"), b.as("d2")))))).as("p"))
+      .select(pairsOf(col("ids")).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_bands"))
     if (ordered) pairs.orderBy(col("d1"), col("d2")) else pairs

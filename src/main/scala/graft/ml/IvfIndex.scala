@@ -32,6 +32,11 @@ object IvfIndex {
     val spark = emb.sparkSession
     import spark.implicits._
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      // spherical k-means: assign/search partition by COSINE, so the
+      // quantizer must learn the same geometry (Euclidean centroids
+      // scatter same-direction/different-magnitude vectors across
+      // cells and cost recall at fixed nProbe)
+      .setDistanceMeasure("cosine")
       .setFeaturesCol("features")
       .fit(emb.select(array_to_vector(col("e")).as("features")))
     model.clusterCenters.zipWithIndex.toSeq
@@ -69,16 +74,23 @@ object IvfIndex {
   }
 
   /** Top-k neighbors of `query` (a one-row DataFrame with column `qe`)
-    * probing the `nProbe` nearest cells of a pre-assigned table. */
+    * probing the `nProbe` nearest cells of a pre-assigned table.
+    * `excludeId` drops that id from the candidates — pass the query's
+    * own id when it comes from the indexed corpus, or its self-match
+    * (cos=1.0) consumes a top-k slot. */
   def search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
-      nProbe: Int, topK: Int): DataFrame = {
+      nProbe: Int, topK: Int, excludeId: Option[Long] = None): DataFrame = {
     val probe = query.crossJoin(broadcast(centroids))
       .withColumn("cs", CosineSim(col("qe"), col("centroid")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(lit(1)).orderBy(desc("cs"), col("cell"))))
       .filter(col("rk") <= nProbe)
       .select(col("cell"))
-    assigned.join(broadcast(probe), Seq("cell"))
+    val candidates = excludeId match {
+      case Some(id) => assigned.filter(col("id") =!= id)
+      case None     => assigned
+    }
+    candidates.join(broadcast(probe), Seq("cell"))
       .crossJoin(broadcast(query))
       .withColumn("cos", CosineSim(col("e"), col("qe")))
       .orderBy(desc("cos"), col("id"))

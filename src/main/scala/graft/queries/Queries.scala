@@ -649,10 +649,14 @@ object Queries {
       when(dot > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
   /** The same 12 sign tests as DuckDB SQL over literal plane vectors
-    * (17 significant digits round-trip a double exactly). */
+    * (17 significant digits round-trip a double exactly; Locale.ROOT
+    * formatting — the f"" interpolator would emit comma decimals on
+    * de/fr-locale JVMs and break the oracle SQL). */
   private lazy val annBucketSql: String =
     (0 until AnnPlanes).map { p =>
-      val lits = annPlanes(p).map(v => f"$v%.17g").mkString("[", ", ", "]")
+      val lits = annPlanes(p)
+        .map(v => String.format(java.util.Locale.ROOT, "%.17g", Double.box(v)))
+        .mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lits) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
@@ -811,9 +815,7 @@ object Queries {
         // docs carries no near-dup signal and would blow up the pair
         // generation quadratically — drop it (standard LSH hygiene)
         .filter(size(col("ids")) > 1 && size(col("ids")) <= 64)
-        .select(explode(flatten(transform(col("ids"), (a, i) =>
-          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-            struct(a.as("d1"), b.as("d2")))))).as("p"))
+        .select(graft.dedup.MinHashLsh.pairsOf(col("ids")).as("p"))
         .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= 2)

@@ -19,16 +19,23 @@ import graft.stages.{ExtractConfig, Extraction}
   */
 object StreamExtract {
 
+  /** One definition of the span-table input schema for every streaming
+    * surface (a drifted copy would give the surfaces silently different
+    * inputs). */
+  private val SpanTableSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+
+  private def spanStream(spark: SparkSession, inDir: String) =
+    spark.readStream
+      .schema(SpanTableSchema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(inDir)
+
   /** Start an AvailableNow extraction pass: spans parquet dir → processed
     * parquet dir, exactly-once via `checkpointDir`. */
   def availableNow(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, cfg: ExtractConfig = ExtractConfig()): StreamingQuery = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "64")
-      .parquet(inDir)
+    val stream = spanStream(spark, inDir)
     val processed = Extraction.pipeline(stream.toDF(), cfg).toDF()
     processed.writeStream
       .format("parquet")
@@ -47,15 +54,17 @@ object StreamExtract {
   def dedupAvailableNow(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): StreamingQuery = {
     import spark.implicits._
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "64")
-      .parquet(inDir)
+    val stream = spanStream(spark, inDir)
+    // fingerprint over the OFFSET-SORTED sequence: span order is
+    // defined by `offset`, not by parquet storage order (Model.scala
+    // contract) — hashing the raw array would let two copies of the
+    // same document escape dedup when their arrays are stored in
+    // different orders
     val fps = stream
       .select(col("doc_id"),
-        md5(concat_ws(" ", filter(col("spans"), s => s.getField("kind") === "text")
+        md5(concat_ws(" ",
+          filter(graft.sql.SpanOps.sortByOffset(col("spans")),
+            s => s.getField("kind") === "text")
           .getField("text"))).as("fp"))
       .select(col("fp"), col("doc_id"))
       .as[StreamDedup.FpDoc]
@@ -73,10 +82,16 @@ object StreamExtract {
     * stream: 10-minute tumbling mean hit ratio with a watermark —
     * the streaming analog of the corpus report (A4). */
   def qualityByWindow(processed: DataFrame, tsCol: String): DataFrame = {
+    // mirror the batch report (A4): the -1.0 MissingRatio sentinel is
+    // EXCLUDED from the mean and counted separately as invalid — a raw
+    // avg would drag the monitoring signal down with every
+    // unestimated document
+    val valid = col("hit_ratio") =!= graft.model.Estimation.MissingRatio
     processed
       .withWatermark(tsCol, "30 minutes")
       .groupBy(window(col(tsCol), "10 minutes"))
-      .agg(round(avg(col("hit_ratio")), 3).as("mean_ratio"),
-        count(lit(1)).as("n_docs"))
+      .agg(round(avg(when(valid, col("hit_ratio"))), 3).as("mean_ratio"),
+        count(when(valid, 1)).as("n_docs"),
+        count(when(!valid, 1)).as("n_invalid"))
   }
 }
