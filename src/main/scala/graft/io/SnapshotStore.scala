@@ -150,9 +150,19 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     var removed = 0
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).filter(_.isDirectory).foreach { pDir =>
-        fs.listStatus(pDir.getPath).filter(_.isDirectory).foreach { aDir =>
-          if (!referenced.contains(fs.makeQualified(aDir.getPath).toString)) {
-            fs.delete(aDir.getPath, true)
+        // a LEGACY partition dir (pre-manifest release) holds parquet
+        // FILES directly under p_N; if the manifest doesn't reference
+        // p_N itself (a backfilled entry would), those files are
+        // orphans too — a dir-only GC would strand them forever
+        val pLive = referenced.contains(fs.makeQualified(pDir.getPath).toString)
+        fs.listStatus(pDir.getPath).foreach { child =>
+          if (child.isDirectory) {
+            if (!referenced.contains(fs.makeQualified(child.getPath).toString)) {
+              fs.delete(child.getPath, true)
+              removed += 1
+            }
+          } else if (!pLive) {
+            fs.delete(child.getPath, false)
             removed += 1
           }
         }

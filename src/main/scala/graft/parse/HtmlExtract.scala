@@ -182,8 +182,14 @@ object HtmlExtract {
                   // an empty subtree: flush the block, push nothing
                   if (!isEnd && !selfClosing) { flush(); dropStack = name :: dropStack }
                   else if (!isEnd && selfClosing) flush()
-                  else if (dropStack.headOption.contains(name))
-                    dropStack = dropStack.tail
+                  else if (dropStack.contains(name))
+                    // tag-soup recovery: a close for a NON-innermost
+                    // open drop element (<nav><aside>x</nav>) implies
+                    // the inner ones were never closed — pop up to and
+                    // including the match, so the rest of the document
+                    // isn't silently swallowed by the stale entry.
+                    // Closes for names not on the stack still no-op.
+                    dropStack = dropStack.dropWhile(_ != name).tail
                 } else if (dropDepth == 0) {
                   name match {
                     case "a" =>

@@ -42,10 +42,10 @@ object PdfExtract {
   /** Extract one PDF's spans (text + media placeholders). */
   def extract(bytes: Array[Byte], docId: String): Vector[Span] = {
     val objs = scanObjects(bytes)
-    val pages = objs.filter { case (_, (dict, _)) => isPage(dict) }.toSeq.sortBy(_._1)
+    val pages = pageOrder(objs).map(n => objs(n))
     val spans = Vector.newBuilder[Span]
     var off = 0
-    pages.zipWithIndex.foreach { case ((_, (dict, _)), pIdx) =>
+    pages.zipWithIndex.foreach { case ((dict, _), pIdx) =>
       val content = contentsOf(dict, objs)
       val page = interpret(content)
       // reading order: baseline y descending (PDF origin is bottom-left),
@@ -119,9 +119,60 @@ object PdfExtract {
     out.toMap
   }
 
-  private def isPage(dict: String): Boolean =
-    dict.replaceAll("\\s+", " ").contains("/Type /Page") &&
-      !dict.replaceAll("\\s+", " ").contains("/Type /Pages")
+  // `/Type/Page` with NO separator is legal per ISO 32000 (a name ends
+  // at any delimiter, and `/` is one) and common in the wild; `(?![a-zA-Z])`
+  // keeps /Pages (the tree node) out
+  private val PagePat =
+    java.util.regex.Pattern.compile("/Type\\s*/Page(?![a-zA-Z])")
+
+  private def isPage(dict: String): Boolean = PagePat.matcher(dict).find()
+
+  /** First `N G R` indirect reference after `key` in a dictionary. */
+  private def refAfter(dict: String, key: String): Option[Int] = {
+    val i = dict.indexOf(key)
+    if (i < 0) None
+    else {
+      val m = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R")
+        .matcher(dict.substring(i + key.length))
+      if (m.find()) Some(m.group(1).toInt) else None
+    }
+  }
+
+  /** Refs inside the `[ … ]` array after /Kids. */
+  private def kidsOf(dict: String): Seq[Int] = {
+    val i = dict.indexOf("/Kids")
+    if (i < 0) return Nil
+    val tail = dict.substring(i + "/Kids".length)
+    val open = tail.indexOf('[')
+    if (open < 0) return Nil
+    val close = tail.indexOf(']', open)
+    val body = tail.substring(open, if (close < 0) tail.length else close)
+    val m = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R").matcher(body)
+    val out = mutable.ArrayBuffer.empty[Int]
+    while (m.find()) out += m.group(1).toInt
+    out.toSeq
+  }
+
+  /** Document page order: walk the page tree from the catalog's /Pages
+    * root, DFS through /Kids (the authoritative reading order per ISO
+    * 32000 §7.7.3 — object numbers carry NO ordering meaning). Pages
+    * the walk misses (broken/absent tree — this parser deliberately
+    * survives files the xref model has given up on) are appended in
+    * object-number order as a fallback. */
+  private def pageOrder(objs: Map[Int, (String, Array[Byte])]): Seq[Int] = {
+    val pages = objs.collect { case (n, (d, _)) if isPage(d) => n }.toSet
+    val root = objs.collectFirst {
+      case (_, (d, _)) if d.contains("/Catalog") => refAfter(d, "/Pages")
+    }.flatten
+    val ordered = mutable.ArrayBuffer.empty[Int]
+    val seen = mutable.Set.empty[Int] // cycle guard: tag soup exists in PDFs too
+    def walk(n: Int): Unit = if (seen.add(n)) objs.get(n).foreach { case (d, _) =>
+      if (pages.contains(n)) ordered += n else kidsOf(d).foreach(walk)
+    }
+    root.foreach(walk)
+    val hit = ordered.toSet
+    ordered.toSeq ++ pages.toSeq.filterNot(hit).sorted
+  }
 
   /** Resolve /Contents (ref or array of refs) and concatenate the
     * decoded streams in order. */

@@ -47,6 +47,37 @@ object ExtractMain {
     spark.stop()
   }
 
+  /** Legacy-layout migration: an output root written by the
+    * marker-only release has committed `state/p_N` markers and data
+    * parquet directly under `data/p_N` (no attempt dirs, no
+    * manifests). Resume keyed solely on the snapshot store would
+    * silently reprocess everything and strand the old files as
+    * orphans the manifest GC can't see. On startup, if markers exist
+    * but no manifest does, backfill a manifest entry per legacy
+    * partition whose data dir completed (`_SUCCESS`), carrying the
+    * marker's lineage; markers without data get an explicit
+    * full-reprocess warning instead of a silent one. */
+  def backfillLegacy(spark: SparkSession, outRoot: String,
+      ckpt: Checkpoint, snap: graft.io.SnapshotStore): Unit = {
+    if (snap.currentVersion().isDefined) return
+    val legacy = ckpt.lineage().collect()
+    if (legacy.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(outRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    legacy.foreach { r =>
+      val p = r.getAs[Int]("part")
+      val dataDir = new org.apache.hadoop.fs.Path(s"$outRoot/data/p_$p")
+      if (fs.exists(new org.apache.hadoop.fs.Path(dataDir, "_SUCCESS"))) {
+        val v = snap.commit(p, dataDir.toString, r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_spans"), r.getAs[Long]("n_failures"))
+        println(s"[extract] backfilled legacy part=$p into snapshot v$v")
+      } else {
+        println(s"[extract] WARNING: legacy marker for part=$p has no " +
+          s"completed data at $dataDir — the partition WILL be reprocessed")
+      }
+    }
+  }
+
   def run(spark: SparkSession, inPath: String, outRoot: String, nParts: Int,
       backup: Boolean = false, cfg: ExtractConfig = ExtractConfig()): Unit = {
     import spark.implicits._
@@ -59,6 +90,7 @@ object ExtractMain {
     val docs = spark.read.parquet(inPath)
       .withColumn("part", pmod(xxhash64(col("doc_id")), lit(nParts)).cast("int"))
 
+    backfillLegacy(spark, outRoot, ckpt, snap)
     val done = snap.done()
     val todo = (0 until nParts).filterNot(done.contains)
     println(s"[extract] partitions total=$nParts pending=${todo.size}")

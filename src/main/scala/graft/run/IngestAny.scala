@@ -26,13 +26,20 @@ object IngestAny {
   case object FmtPdf extends Format
   case object FmtUnknown extends Format
 
+  /** Byte offset of the content after an optional UTF-8 BOM. Both the
+    * sniff AND the decode must skip it: StAX rejects a decoded U+FEFF
+    * before the prolog ("Content is not allowed in prolog"), and the
+    * HTML tokenizer would glue it onto the first word. */
+  def bomOffset(bytes: Array[Byte]): Int =
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+      bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte) 3 else 0
+
   /** Magic-byte / prologue sniff on the first bytes of the payload.
     * A UTF-8 BOM is stripped at the BYTE level (after an ISO-8859-1
     * decode it would read as three junk chars, not U+FEFF, and push
     * BOM-prefixed XML to FmtUnknown). */
   def sniff(bytes: Array[Byte]): Format = {
-    val off = if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
-      bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte) 3 else 0
+    val off = bomOffset(bytes)
     if (bytes.length - off >= 4 && bytes(off) == '%' && bytes(off + 1) == 'P' &&
       bytes(off + 2) == 'D' && bytes(off + 3) == 'F') return FmtPdf
     val head = new String(bytes, off, math.min(bytes.length - off, 512),
@@ -56,14 +63,15 @@ object IngestAny {
       val xmlParser = ParserPool.get() // pooled per task, never per row
       it.map { case (docId, bytes) =>
         try {
+          // decode from AFTER the BOM, like the sniff does (a kept
+          // U+FEFF is a StAX prolog error / a glued first HTML word)
+          val off = bomOffset(bytes)
+          def text = new String(bytes, off, bytes.length - off,
+            java.nio.charset.StandardCharsets.UTF_8)
           val spans = sniff(bytes) match {
             case FmtPdf => PdfExtract.extract(bytes, docId)
-            case FmtHtml =>
-              HtmlExtract.extract(
-                new String(bytes, java.nio.charset.StandardCharsets.UTF_8), docId).spans
-            case FmtXml =>
-              OcrXmlParser.toSpans(docId, xmlParser.parse(
-                new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+            case FmtHtml => HtmlExtract.extract(text, docId).spans
+            case FmtXml => OcrXmlParser.toSpans(docId, xmlParser.parse(text))
             case FmtUnknown =>
               throw new IllegalArgumentException("unrecognized format")
           }

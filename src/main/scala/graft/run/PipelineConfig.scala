@@ -43,9 +43,12 @@ object PipelineConfig {
     else tokens.toSeq.map { tkn =>
       // reference `tkn.split(':')[1]` (lib/ocr_step.py:203-204): the
       // value is the segment between the FIRST and SECOND colon (a
-      // second colon truncates), and a colon-less token is an
-      // IndexError — mirrored as a config error, not a silent skip
-      val kv = tkn.split(":")
+      // second colon truncates), a trailing-colon entry ('key:')
+      // yields an EMPTY value (Python keeps trailing empty segments;
+      // Java's default split drops them, hence limit -1), and only a
+      // genuinely colon-LESS token is an IndexError — mirrored as a
+      // config error, not a silent skip
+      val kv = tkn.split(":", -1)
       if (kv.length < 2)
         throw new IllegalArgumentException(
           s"malformed dict entry '$tkn' (reference parse_dict raises IndexError)")

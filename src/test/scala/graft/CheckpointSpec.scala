@@ -135,4 +135,58 @@ class CheckpointSpec extends SparkSpecBase {
     assert(snap.done() == Set(7))
     assert(snap.entries()(7).nSpans == 20)
   }
+
+  test("legacy marker-only layout: backfill adopts data, expire GCs superseded files") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-legacy").toString
+    val spansPath = s"$tmp/spans"
+    val outRoot = s"$tmp/out"
+    graft.gen.CorpusGen.docs(spark, 60, "interleaved")
+      .write.mode(SaveMode.Overwrite).parquet(spansPath)
+
+    // simulate the pre-manifest release: run normally, then strip the
+    // manifests and flatten each attempt dir up into data/p_N (the
+    // legacy layout: parquet files directly under the partition dir)
+    ExtractMain.run(spark, spansPath, outRoot, nParts = 2)
+    val snap = new SnapshotStore(spark, outRoot)
+    val full = snap.read().select($"doc_id", $"n_words").as[(String, Int)]
+      .collect().sortBy(_._1).toSeq
+    new java.io.File(s"$outRoot/snapshots").listFiles().foreach(_.delete())
+    (0 until 2).foreach { p =>
+      val pDir = new java.io.File(s"$outRoot/data/p_$p")
+      val attempt = pDir.listFiles().filter(_.isDirectory).head
+      attempt.listFiles().foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(pDir, f.getName).toPath)
+      }
+      attempt.delete()
+    }
+    assert(snap.currentVersion().isEmpty)
+
+    // resume: the backfill must ADOPT the legacy data — entries point
+    // at data/p_N itself and the corpus is byte-identical, not rebuilt
+    ExtractMain.run(spark, spansPath, outRoot, nParts = 2)
+    assert(snap.done() == Set(0, 1))
+    assert(snap.entries().values.forall(e =>
+      e.path.endsWith("p_0") || e.path.endsWith("p_1")),
+      s"reprocessed instead of adopting: ${snap.entries()}")
+    val resumed = snap.read().select($"doc_id", $"n_words").as[(String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(resumed == full)
+
+    // once a legacy partition is superseded by a fresh attempt
+    // (compact = rewrite + repoint), expire must GC the loose legacy
+    // files too, not only attempt DIRS
+    snap.compact(0)
+    // count VISIBLE files (Hadoop's local FS hides .crc checksum
+    // siblings from listStatus; fs.delete removes them with the file)
+    def visibleFiles() = new java.io.File(s"$outRoot/data/p_0")
+      .listFiles().count(f => f.isFile && !f.getName.startsWith("."))
+    val legacyFiles = visibleFiles()
+    assert(legacyFiles > 0)
+    val (_, removed) = snap.expire(1)
+    assert(removed >= legacyFiles, s"legacy files survived GC: $removed")
+    assert(visibleFiles() == 0)
+    assert(snap.read().count() == 60)
+  }
 }

@@ -91,6 +91,15 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(texts("<p>davor text hier</p><iframe/><p>danach text auch</p>") ==
       Vector("davor", "text", "hier", "danach", "text", "auch"))
 
+    // mis-nested boilerplate (tag soup): a close for a NON-innermost
+    // open drop element pops through the stale inner entries instead of
+    // silently dropping the rest of the document
+    assert(texts("<nav><aside>menü</nav></aside><p>echter inhalt bleibt da</p>") ==
+      Vector("echter", "inhalt", "bleibt", "da"))
+    // a close for a drop name never opened still no-ops
+    assert(texts("</nav><p>inhalt ohne kontext hier</p>") ==
+      Vector("inhalt", "ohne", "kontext", "hier"))
+
     // hexadecimal character references decode like decimal ones
     assert(texts("<p>it&#x2019;s done &#8217;too&#x2019;</p>") ==
       Vector("it’s", "done", "’too’"))

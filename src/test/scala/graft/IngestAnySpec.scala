@@ -85,4 +85,25 @@ class IngestAnySpec extends SparkSpecBase {
     // the BOM'd copy parsed as XML (no error spans anywhere)
     assert(out.forall(_.spans.forall(_.kind != graft.run.IngestXml.KindError)))
   }
+
+  test("BOM bytes are stripped before decode: XML parses, HTML first word is clean") {
+    // the decoded U+FEFF is a StAX prolog error on a plain JDK factory
+    // and would otherwise glue onto the first HTML word — both paths
+    // must decode from AFTER the BOM, not just sniff past it
+    val bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    val tmp = Files.createTempDirectory("graft-bom").toString
+    val doc = graft.gen.CorpusGen.docs(spark, 1, "interleaved").collect().head
+    Files.write(Paths.get(s"$tmp/bom_doc.xml"), bom ++ AltoWriter.render(doc))
+    Files.write(Paths.get(s"$tmp/bom_page.html"), bom ++
+      "<html><body><p>klares erstes wort hier</p></body></html>".getBytes("UTF-8"))
+
+    val out = IngestAny.parseDocs(IngestAny.readFiles(spark, Seq(tmp)))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out("bom_doc").spans.forall(_.kind != graft.run.IngestXml.KindError))
+    assert(out("bom_doc").spans.filter(_.kind == Span.KindText).map(_.text) ==
+      doc.spans.filter(_.kind == Span.KindText).map(_.text))
+    val toks = out("bom_page").spans.filter(_.kind == Span.KindText).map(_.text)
+    assert(toks == Seq("klares", "erstes", "wort", "hier"), s"got $toks")
+    assert(toks.head.head != '\uFEFF')
+  }
 }

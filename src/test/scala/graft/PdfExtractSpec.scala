@@ -95,6 +95,33 @@ class PdfExtractSpec extends SparkSpecBase {
     assert(texts(PdfExtract.extract(pdf, "d")) == Seq("erster", "zweiter"))
   }
 
+  test("compact /Type/Page (no separator) is a page; /Kids order beats object numbers") {
+    // legal per ISO 32000 (names end at any delimiter) and common in
+    // the wild; pages stored with object numbers REVERSED vs the /Kids
+    // reading order — the tree walk, not the objnum sort, must win
+    val c1 = "BT 72 700 Td (erste) Tj ET"
+    val c2 = "BT 72 700 Td (zweite) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type/Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type/Pages /Kids [ 5 0 R 4 0 R ] /Count 2 >> endobj\n" +
+      "4 0 obj << /Type/Page /Parent 2 0 R /Contents 7 0 R >> endobj\n" +
+      "5 0 obj << /Type/Page /Parent 2 0 R /Contents 6 0 R >> endobj\n" +
+      s"6 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream endobj\n" +
+      s"7 0 obj << /Length ${c2.length} >>\nstream\n$c2\nendstream endobj\n" +
+      "%%EOF\n").getBytes(ISO_8859_1)
+    assert(texts(PdfExtract.extract(pdf, "d")) == Seq("erste", "zweite"))
+  }
+
+  test("pages outside a broken /Kids tree are still extracted (objnum fallback)") {
+    val c1 = "BT 72 700 Td (verwaist) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      // no catalog at all — the fallback must still find the page
+      "3 0 obj << /Type/Page /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream endobj\n" +
+      "%%EOF\n").getBytes(ISO_8859_1)
+    assert(texts(PdfExtract.extract(pdf, "d")) == Seq("verwaist"))
+  }
+
   test("distributed extraction over Spark (mapPartitions path)") {
     import spark.implicits._
     val rows = (0 until 40).map { i =>

@@ -64,6 +64,10 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(PipelineConfig.parseDict("{a:b, c:d}") == Seq("a" -> "b", "c" -> "d"))
     assert(PipelineConfig.parseDict("justone") == Seq.empty)
     assert(PipelineConfig.parseDict("") == Seq.empty)
+    // 'key:' has an EMPTY value (Python split keeps trailing empties);
+    // only a genuinely colon-less token is the reference's IndexError
+    assert(PipelineConfig.parseDict("{a:, b:c}") == Seq("a" -> "", "b" -> "c"))
+    intercept[IllegalArgumentException](PipelineConfig.parseDict("{a, b:c}"))
   }
 
   // lib/ocr_step.py:49-55
