@@ -9,15 +9,15 @@ import graft.gen.CorpusGen.mix64
   * as opaque `binary` columns with typed metadata, exactly as the span
   * table treats them as opaque `media_ref` placeholders (north_rule).
   *
-  * Decode is REAL for the header-parseable formats — BMP, PPM/PGM/PBM
-  * and GIF dimensions come from the actual bytes (pure-JVM header
-  * parse, no codec library needed; see [[HeaderDecoder]]). Formats
-  * that need a full codec (PNG/JPEG deflate, MP4, WAV resampling) fall
-  * back to the deterministic [[StubDecoder]] — the codec libraries are
-  * not in this container — and the 16-dim feature vector is likewise a
-  * stub stand-in for a real vision/audio embedding. The Spark-side
-  * plumbing (schema, per-partition decoder pooling, batch shape,
-  * partitioning) is identical either way.
+  * Decode is REAL for the header-parseable formats — BMP, PPM/PGM/PBM,
+  * GIF, PNG and JPEG dimensions come from the actual bytes (pure-JVM
+  * header parse, no codec library needed; see [[HeaderDecoder]]).
+  * Formats that need real container/codec work (MP4, WAV) fall back to
+  * the deterministic [[StubDecoder]] — the codec libraries are not in
+  * this container — and the 16-dim feature vector is likewise a stub
+  * stand-in for a real vision/audio embedding. The Spark-side plumbing
+  * (schema, per-partition decoder pooling, batch shape, partitioning)
+  * is identical either way.
   */
 object Media {
 
@@ -61,10 +61,16 @@ object Media {
     *    offsets 18/22 (height may be negative = top-down → abs);
     *  - PPM/PGM/PBM (netpbm `P1`..`P6`): ASCII width/height after the
     *    magic, `#` comments allowed anywhere in the header;
-    *  - GIF87a/89a: uint16-LE logical-screen width/height at 6/8.
+    *  - GIF87a/89a: uint16-LE logical-screen width/height at 6/8;
+    *  - PNG: width/height are plain big-endian int32s at fixed offsets
+    *    16/20 inside the IHDR chunk (always first, right after the
+    *    8-byte signature) — the deflate codec is only needed for PIXELS;
+    *  - JPEG: a linear marker scan to the first SOF0–SOF15 frame
+    *    header, which carries big-endian uint16 height/width — again no
+    *    entropy decode required.
     *
-    * Anything else (PNG/JPEG/MP4/WAV need real codecs absent from this
-    * container) falls back to the deterministic stub. */
+    * Anything else (MP4/WAV need real container/codec work absent from
+    * this container) falls back to the deterministic stub. */
   final class HeaderDecoder extends MediaDecoder {
     private val stub = new StubDecoder
 
@@ -72,6 +78,43 @@ object Media {
     private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
     private def le32(b: Array[Byte], i: Int): Int =
       u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+    private val PngSig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A)
+
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 24 && (0 until 8).forall(i => u8(b, i) == PngSig(i)) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+
+    /** JPEG frame dims via SOF marker scan. Returns (width, height) or
+      * null. SOFn = 0xC0–0xCF minus DHT (C4), JPG (C8), DAC (CC);
+      * standalone markers (RSTn/SOI/EOI/TEM) carry no length field. */
+    private def jpegDims(b: Array[Byte]): (Int, Int) = {
+      if (b.length < 4 || u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return null
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xFF) return null // lost sync
+        var j = i
+        while (j < b.length && u8(b, j) == 0xFF) j += 1 // fill bytes
+        if (j >= b.length) return null
+        val m = u8(b, j)
+        if ((m >= 0xC0 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          // SOF: len(2) precision(1) height(2) width(2)
+          return if (j + 8 < b.length) (be16(b, j + 6), be16(b, j + 4)) else null
+        } else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) {
+          i = j + 1 // standalone marker
+        } else if (m == 0xD9 || m == 0xDA) {
+          return null // EOI / scan data reached without a SOF
+        } else {
+          if (j + 2 >= b.length) return null
+          i = j + 1 + be16(b, j + 1)
+        }
+      }
+      null
+    }
 
     /** Read the next ASCII unsigned int of a netpbm header, skipping
       * whitespace and `#`-to-newline comments; returns (value, nextPos)
@@ -109,7 +152,16 @@ object Media {
         if (h == null) fallback
         else fallback.copy(mime = "image/x-portable-anymap", n_frames = 1,
           width = w._1, height = h._1)
-      } else fallback
+      } else if (isPng(bytes))
+        fallback.copy(mime = "image/png", n_frames = 1,
+          width = be32(bytes, 16), height = be32(bytes, 20))
+      else {
+        val jd = jpegDims(bytes)
+        if (jd != null)
+          fallback.copy(mime = "image/jpeg", n_frames = 1,
+            width = jd._1, height = jd._2)
+        else fallback
+      }
     }
   }
 
@@ -128,6 +180,33 @@ object Media {
     b.putInt(40).putInt(width).putInt(height)
       .putShort(1).putShort(24).putInt(0).putInt(0)
       .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    b.array()
+  }
+
+  /** Header-complete PNG: signature + IHDR chunk (dims are all a
+    * dimension probe reads; CRC left zero — the probe never checks it). */
+  def pngBytes(width: Int, height: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33) // 8 sig + 4 len + 4 type + 13 ihdr + 4 crc
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(width).putInt(height)
+    b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    b.putInt(0)
+    b.array()
+  }
+
+  /** Header-complete JPEG: SOI + APP0/JFIF + SOF0 carrying the dims. */
+  def jpegBytes(width: Int, height: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(2 + 18 + 13)
+    b.put(0xFF.toByte).put(0xD8.toByte)                      // SOI
+    b.put(0xFF.toByte).put(0xE0.toByte).putShort(16)         // APP0 len 16
+    b.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    b.put(1.toByte).put(1.toByte).put(0.toByte)
+    b.putShort(1).putShort(1).put(0.toByte).put(0.toByte)
+    b.put(0xFF.toByte).put(0xC0.toByte).putShort(11)         // SOF0 len 11 (1 comp)
+    b.put(8.toByte)
+    b.putShort(height.toShort).putShort(width.toShort)
+    b.put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte)
     b.array()
   }
 
@@ -188,25 +267,25 @@ object Media {
     h
   }
 
-  /** Like [[synthMedia]], but image refs carry REAL BMP bytes (header
-    * width/height derived deterministically from the ref) so the
-    * decode path exercises [[HeaderDecoder]]'s actual byte parse;
-    * video/audio refs stay opaque payloads on the stub path. Narrow
-    * mapPartitions — same batch shape as a real payload fetch. */
+  /** Like [[synthMedia]], but image refs carry REAL format bytes (BMP,
+    * PNG or JPEG headers whose width/height derive deterministically
+    * from the ref) so the decode path exercises [[HeaderDecoder]]'s
+    * actual byte parse across all three container layouts; video/audio
+    * refs stay opaque payloads on the stub path. Narrow mapPartitions —
+    * same batch shape as a real payload fetch. */
   def synthMediaReal(spark: SparkSession, refs: DataFrame): DataFrame = {
     import spark.implicits._
     refs.select(col("media_ref")).as[String].mapPartitions { it =>
       it.map { ref =>
         val h = hashStr(ref)
-        math.floorMod(h, 3L) match {
-          case 0L =>
-            val w = 64 + math.floorMod(mix64(h + 11), 1984L).toInt
-            val ht = 64 + math.floorMod(mix64(h + 12), 1024L).toInt
-            (ref, bmpBytes(w, ht), "image/bmp")
-          case 1L =>
-            (ref, Array.tabulate(32)(j => mix64(h + j).toByte), "video/mp4")
-          case _ =>
-            (ref, Array.tabulate(32)(j => mix64(h - j).toByte), "audio/wav")
+        def w = 64 + math.floorMod(mix64(h + 11), 1984L).toInt
+        def ht = 64 + math.floorMod(mix64(h + 12), 1024L).toInt
+        math.floorMod(h, 5L) match {
+          case 0L => (ref, bmpBytes(w, ht), "image/bmp")
+          case 1L => (ref, pngBytes(w, ht), "image/png")
+          case 2L => (ref, jpegBytes(w, ht), "image/jpeg")
+          case 3L => (ref, Array.tabulate(32)(j => mix64(h + j).toByte), "video/mp4")
+          case _  => (ref, Array.tabulate(32)(j => mix64(h - j).toByte), "audio/wav")
         }
       }
     }.toDF("media_ref", "content", "mime")

@@ -782,10 +782,10 @@ object Queries {
              ORDER BY cos DESC, vec_id"""))
 
   // multimodal: media refs → synthetic binary payloads → pooled
-  // decode → typed metadata aggregation. Image payloads are REAL BMP
-  // bytes whose dimensions come from the actual header parse
-  // (Media.HeaderDecoder); video/audio stay on the documented stub
-  // path (rows-only: mixed stub content)
+  // decode → typed metadata aggregation. Image payloads are REAL
+  // BMP/PNG/JPEG bytes whose dimensions come from the actual header
+  // parse (Media.HeaderDecoder); only video/audio stay on the
+  // documented stub path (rows-only: mixed stub content)
   private val q35 = QueryDef("q35_media_decode",
     (s, d) => {
       val refs = t(s, d, "documents")
@@ -1502,11 +1502,183 @@ object Queries {
             FROM base LEFT JOIN agg USING (doc_id)
             ORDER BY base.doc_id"""))
 
+  // as-of join, nearest direction with a tolerance bound (the full
+  // pandas merge_asof surface on top of the same union+window shape as
+  // q51 — still one exchange, zero joins): each purchase matched to
+  // the temporally CLOSEST click of the same user, backward winning
+  // ties, matches farther than 24h nulled out
+  private val AsofTolSecs = 86400
+  private val q59 = QueryDef("q59_asof_nearest_tolerance",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.ops.AsOfJoin.asOf(purchases, clicks,
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          carry = Seq("event_id"), direction = "nearest",
+          toleranceSecs = Some(AsofTolSecs.toDouble))
+        .select(col("event_id"), col("user_id"),
+          col("asof.event_id").as("click_event_id"),
+          // floor(abs(...)): Spark's double→long cast truncates while
+          // DuckDB's rounds — floor on both sides (same as q51)
+          floor(abs(col("ts").cast("timestamp").cast("double")
+            - col("asof.ts").cast("timestamp").cast("double")))
+            .cast("bigint").as("gap_s"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH p AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'click'),
+             cand AS (
+               SELECT p.event_id, p.user_id, p.ts,
+                 (SELECT c.ts FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS b_ts,
+                 (SELECT c.event_id FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS b_eid,
+                 (SELECT c.ts FROM c WHERE c.user_id = p.user_id AND c.ts >= p.ts
+                    ORDER BY c.ts ASC, c.event_id DESC LIMIT 1) AS f_ts,
+                 (SELECT c.event_id FROM c WHERE c.user_id = p.user_id AND c.ts >= p.ts
+                    ORDER BY c.ts ASC, c.event_id DESC LIMIT 1) AS f_eid
+               FROM p),
+             pick AS (
+               SELECT event_id, user_id, ts,
+                 CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+                      WHEN f_ts IS NULL THEN b_eid
+                      WHEN b_ts IS NULL THEN f_eid
+                      WHEN epoch(ts) - epoch(b_ts) <= epoch(f_ts) - epoch(ts)
+                        THEN b_eid ELSE f_eid END AS n_eid,
+                 CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+                      WHEN f_ts IS NULL THEN b_ts
+                      WHEN b_ts IS NULL THEN f_ts
+                      WHEN epoch(ts) - epoch(b_ts) <= epoch(f_ts) - epoch(ts)
+                        THEN b_ts ELSE f_ts END AS n_ts
+               FROM cand)
+           SELECT event_id, user_id,
+             CASE WHEN abs(epoch(ts) - epoch(n_ts)) <= $AsofTolSecs
+                  THEN n_eid END AS click_event_id,
+             CASE WHEN abs(epoch(ts) - epoch(n_ts)) <= $AsofTolSecs
+                  THEN CAST(floor(abs(epoch(ts) - epoch(n_ts))) AS BIGINT)
+                  END AS gap_s
+           FROM pick ORDER BY event_id"""))
+
+  // winnowing with an ORACLE-REPRODUCIBLE hash: the q23/q24 pattern
+  // applied to the winnow family — same window semantics as the
+  // production Karp–Rabin path (q36/q43, graft.text.Winnow) but with
+  // md5-hex k-gram hashes both engines compute bit-identically, so the
+  // rolling-min + dedup + sort machinery itself is oracled end-to-end.
+  // All per-doc work is ONE flat projection (codegen CSE dedups the
+  // repeated subtrees; no Generate boundary, so no persist barrier
+  // needed — cf. the q24 trap).
+  private val WinnowMdK = 5
+  private val WinnowMdW = 4
+  private val q60 = QueryDef("q60_winnow_md5_oracle",
+    (s, d) => {
+      val k = WinnowMdK
+      val w = WinnowMdW
+      val base = t(s, d, "documents")
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"), col("text"),
+          (length(col("text")) - k + 1).as("n"))
+      val grams = base.select(col("doc_id"), col("n"),
+        transform(sequence(lit(1), col("n")),
+          i => md5(col("text").substr(i, lit(k)))).as("g"))
+      // windows start at 1..max(n-w+1, 1); the last windows clamp at
+      // the array end (min(i+w, len) in Winnow.fingerprints)
+      val mins = grams.select(col("doc_id"),
+        array_sort(array_distinct(
+          transform(sequence(lit(1), greatest(col("n") - w + 1, lit(1))),
+            j => array_min(slice(col("g"), j,
+              least(lit(w), col("n") - j + 1)))))).as("fps"))
+      mins.select(col("doc_id"),
+          size(col("fps")).cast("bigint").as("n_fps"),
+          md5(array_join(col("fps"), ",")).as("fp_digest"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS (
+               SELECT doc_id, text, length(text) - $WinnowMdK + 1 AS n
+               FROM documents WHERE length(text) >= $WinnowMdK),
+             g AS (
+               SELECT doc_id, n, text, unnest(range(1, n + 1)) AS i
+               FROM base),
+             h AS (
+               SELECT doc_id, n, i,
+                 md5(substring(text, CAST(i AS INT), $WinnowMdK)) AS h
+               FROM g),
+             w AS (
+               SELECT doc_id, n, i,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND ${WinnowMdW - 1} FOLLOWING) AS fp
+               FROM h),
+             wf AS (
+               SELECT doc_id, fp FROM w
+               WHERE i <= greatest(n - $WinnowMdW + 1, 1)),
+             agg AS (
+               SELECT doc_id,
+                 list_sort(list_distinct(list(fp))) AS fps
+               FROM wf GROUP BY doc_id)
+           SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+             md5(array_to_string(fps, ',')) AS fp_digest
+           FROM agg ORDER BY doc_id"""))
+
+  // the mixed-format ingestion surface (S3/J2/X1/T3) promoted to the
+  // contract: a deterministic mini-corpus (ALTO, BOM'd ALTO, HTML, PDF,
+  // junk) written to a temp dir, scanned ONCE via binaryFile +
+  // magic-byte dispatch, per-doc span-kind counts checked against
+  // literal expectations (content is fixed, so the oracle is a VALUES
+  // table)
+  private val q61 = QueryDef("q61_ingest_mixed_formats",
+    (s, _) => {
+      import graft.model.{Doc, Span}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q61").toString
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/$name"), bytes)
+      val altoDoc = Doc("alto_a", Vector(
+        Span(Span.KindText, "gedruckter", "line://b1/l1", 0),
+        Span(Span.KindText, "inhalt", "line://b1/l1", 1),
+        Span(Span.KindText, "kommt", "line://b1/l2", 2),
+        Span(Span.KindText, "wieder", "line://b1/l2", 3),
+        Span.media("media://alto_a/img0", 4)))
+      put("alto_a.xml", graft.parse.AltoWriter.render(altoDoc))
+      val bomDoc = Doc("bom_e", Vector(
+        Span(Span.KindText, "nochmal", "line://b1/l1", 0),
+        Span(Span.KindText, "inhalt", "line://b1/l1", 1)))
+      put("bom_e.xml", Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        graft.parse.AltoWriter.render(bomDoc))
+      put("html_b.html",
+        ("<html><body><nav><a href='/'>home</a> <a href='/a'>about</a>" +
+          " <a href='/c'>impressum</a></nav>" +
+          "<article><p>echter inhalt mit genug worten hier</p>" +
+          "<img src='bild.png'/></article></body></html>").getBytes("UTF-8"))
+      put("pdf_c.pdf", graft.parse.PdfWriter.render(
+        Seq(Seq((72.0, 700.0, "gedruckter inhalt"), (72.0, 686.0, "zweite zeile"))),
+        flate = true, withImage = true))
+      put("junk_d.xml", Array[Byte](9, 9, 9))
+
+      val docs = graft.run.IngestAny.parseDocs(
+        graft.run.IngestAny.readFiles(s, Seq(tmp)))
+      docs.toDF().select(col("doc_id"),
+          size(filter(col("spans"), x => x.getField("kind") === Span.KindText)).as("n_text"),
+          size(filter(col("spans"), x => x.getField("kind") === Span.KindMedia)).as("n_media"),
+          size(filter(col("spans"), x => x.getField("kind") === graft.run.IngestXml.KindError)).as("n_err"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT * FROM (VALUES
+              ('alto_a', 4, 1, 0),
+              ('bom_e', 2, 0, 0),
+              ('html_b', 6, 1, 0),
+              ('junk_d', 0, 0, 1),
+              ('pdf_c', 4, 1, 0)) AS t(doc_id, n_text, n_media, n_err)
+            ORDER BY doc_id"""))
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
+    q59, q60, q61)
 }

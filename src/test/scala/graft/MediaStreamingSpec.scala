@@ -42,7 +42,7 @@ class MediaStreamingSpec extends SparkSpecBase {
     }
   }
 
-  test("header decode is real: BMP/PPM/GIF dims come from the bytes") {
+  test("header decode is real: BMP/PPM/GIF/PNG/JPEG dims come from the bytes") {
     val dec = new Media.HeaderDecoder
 
     // BMP round-trip through the generator used by q35
@@ -71,19 +71,38 @@ class MediaStreamingSpec extends SparkSpecBase {
       ((viaStub.mime, viaStub.width, viaStub.height, viaStub.n_frames)))
     assert(viaHeader.feature.toSeq == viaStub.feature.toSeq)
 
-    // end-to-end through Spark: every image/bmp row's dims are the
-    // header parse of its generated payload
+    // PNG: width/height are BE int32s at fixed IHDR offsets — a pure
+    // header read, no inflate involved
+    val png = dec.decode("r6", Media.pngBytes(1920, 1080), "application/octet-stream")
+    assert((png.mime, png.width, png.height, png.n_frames) ==
+      (("image/png", 1920, 1080, 1)))
+    // a PNG-signature file whose first chunk is NOT IHDR is not a PNG
+    val badPng = Media.pngBytes(5, 5)
+    badPng(12) = 'X'.toByte
+    assert(dec.decode("r6b", badPng, "x").mime != "image/png")
+
+    // JPEG: marker scan past APP0 to SOF0
+    val jpg = dec.decode("r7", Media.jpegBytes(1024, 768), "application/octet-stream")
+    assert((jpg.mime, jpg.width, jpg.height, jpg.n_frames) ==
+      (("image/jpeg", 1024, 768, 1)))
+    // a truncated JPEG (SOI only) falls back to the stub, no crash
+    assert(dec.decode("r8", Array(0xFF.toByte, 0xD8.toByte), "x").mime != "image/jpeg")
+
+    // end-to-end through Spark: every real-image row's dims are the
+    // header parse of its generated payload (all three layouts)
     import spark.implicits._
-    val refs = (0 until 120).map(i => s"media://doc$i/0").toDF("media_ref")
+    val refs = (0 until 150).map(i => s"media://doc$i/0").toDF("media_ref")
     val media = Media.synthMediaReal(spark, refs)
     val meta = Media.decodeMeta(media).collect()
-    assert(meta.length == 120)
-    val bmps = meta.filter(_.mime == "image/bmp")
-    assert(bmps.nonEmpty)
+    assert(meta.length == 150)
+    val images = meta.filter(_.mime.startsWith("image/"))
+    assert(Set("image/bmp", "image/png", "image/jpeg")
+      .subsetOf(images.map(_.mime).toSet), s"missing a format: ${images.map(_.mime).toSet}")
     val payloads = media.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-    bmps.foreach { mm =>
-      val expect = dec.decode(mm.media_ref, payloads(mm.media_ref), "image/bmp")
-      assert((mm.width, mm.height) == ((expect.width, expect.height)), mm.media_ref)
+    images.foreach { mm =>
+      val expect = dec.decode(mm.media_ref, payloads(mm.media_ref), "x")
+      assert((mm.mime, mm.width, mm.height) ==
+        ((expect.mime, expect.width, expect.height)), mm.media_ref)
     }
   }
 

@@ -36,6 +36,62 @@ class OpsJoinSpec extends SparkSpecBase {
     assert(out == Map(1L -> 900L, 2L -> -1L, 3L -> 601L, 4L -> 111L))
   }
 
+  test("asOf directions + tolerance match a brute-force oracle (incl. ties)") {
+    import spark.implicits._
+    // deterministic pseudo-random data with DELIBERATE collisions:
+    // i*37%100 / j*53%100 produce repeated timestamps within keys, so
+    // equal-ts and equal-gap tie rules are genuinely exercised
+    val lrows = (1 to 120).map(i => (i.toLong, s"k${i % 4}", (i * 37 % 100).toLong))
+    val rrows = (1 to 80).map(j => (s"k${j % 4}", (j * 53 % 100).toLong, j.toLong))
+    val left = lrows.map { case (id, k, s) => (id, k, ts(s)) }.toDF("id", "k", "t")
+    val right = rrows.map { case (k, s, v) => (k, ts(s), v) }.toDF("k", "t", "v")
+
+    def brute(dir: String, tol: Option[Double]): Map[Long, Long] =
+      lrows.map { case (id, k, lt) =>
+        val cands = rrows.filter(_._1 == k)
+        // tie rules mirror the operator: equal ts → largest payload
+        // struct (ts, v); nearest equal gap → backward
+        val back = cands.filter(_._2 <= lt)
+          .sortBy(c => (c._2, c._3)).lastOption
+        val fwd = cands.filter(_._2 >= lt)
+          .sortBy(c => (-c._2, c._3)).lastOption
+        val pick = dir match {
+          case "backward" => back
+          case "forward"  => fwd
+          case "nearest" => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (lt - b._2 <= f._2 - lt) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        val bounded = pick.filter(c => tol.forall(t => math.abs(c._2 - lt) <= t))
+        id -> bounded.map(_._3).getOrElse(-1L)
+      }.toMap
+
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(7.0))) {
+      val got = AsOfJoin.asOf(left, right, "k", "t", "t", Seq("v"),
+          direction = dir, toleranceSecs = tol)
+        .select(col("id"), col("asof.v"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      assert(got == brute(dir, tol), s"direction=$dir tolerance=$tol")
+    }
+  }
+
+  test("asOf forward/nearest keep the one-exchange zero-join plan") {
+    import spark.implicits._
+    val left = (1 to 60).map(i => (i.toLong, s"k${i % 5}", ts(i.toLong))).toDF("id", "k", "t")
+    val right = (1 to 30).map(i => (s"k${i % 5}", ts(i.toLong * 2), i.toLong)).toDF("k", "t", "v")
+    Seq("forward", "nearest").foreach { dir =>
+      val df = AsOfJoin.asOf(left, right, "k", "t", "t", Seq("v"), direction = dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+      assert(!plan.contains("Join"), s"$dir joins:\n$plan")
+      assert(plan.split("Exchange").length - 1 == 1, s"$dir shuffles more than once:\n$plan")
+    }
+  }
+
   test("asOf plan: one exchange (the window), zero joins") {
     import spark.implicits._
     val left = (1 to 100).map(i => (i.toLong, s"k${i % 5}", ts(i.toLong))).toDF("id", "k", "t")
