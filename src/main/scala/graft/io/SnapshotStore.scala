@@ -101,11 +101,17 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def done(): Set[Int] = entries().keySet
 
   /** Consistent read of the table at a snapshot (default: current):
-    * exactly the manifest's paths, immune to concurrent commits. */
+    * exactly the manifest's paths, immune to concurrent commits.
+    * `mergeSchema` makes SCHEMA EVOLUTION work across partitions
+    * committed under different releases: a partition written with an
+    * added column unions with older ones (nulls backfill) — and a
+    * version-pinned read still sees exactly the schema of ITS files
+    * (time travel includes the schema). */
   def read(version: Option[Long] = None): DataFrame = {
     val es = entries(version)
     require(es.nonEmpty, "empty table: no committed snapshot")
-    spark.read.parquet(es.values.toSeq.sortBy(_.part).map(_.path): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(es.values.toSeq.sortBy(_.part).map(_.path): _*)
   }
 
   /** Compact a partition's data files (the `rewrite_data_files`

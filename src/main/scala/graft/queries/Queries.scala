@@ -1416,25 +1416,41 @@ object Queries {
   // encodes the round-trip invariant: every whitespace token survives
   // write→inflate→interpret→layout-sort as one text span, plus exactly
   // one media span for the image's Do.
-  private val q57 = QueryDef("q57_pdf_extract",
-    (s, d) => {
-      import s.implicits._
-      val rows = t(s, d, "documents")
-        .select(col("doc_id").cast("string").as("doc_id"), col("text"))
-        .as[(String, String)]
-        .mapPartitions { it =>
-          it.map { case (id, text) =>
-            val tk = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
-            (id, graft.parse.PdfWriter.render(
-              Seq(graft.parse.PdfWriter.layoutTokens(tk)),
-              flate = true, withImage = true))
-          }
+  //
+  // The two stages are public so the bench can pay synthesis ONCE
+  // (production PDFs arrive, they aren't generated) and time only the
+  // parse; the contract query composes both so the oracle invariant is
+  // unchanged.
+
+  /** q57 synthesis stage: documents → (doc_id, pdf bytes). */
+  def pdfRender(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tk = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+          (id, graft.parse.PdfWriter.render(
+            Seq(graft.parse.PdfWriter.layoutTokens(tk)),
+            flate = true, withImage = true))
         }
-      graft.parse.PdfExtract.extractDocs(rows).toDF()
-        .select(col("doc_id"), size(col("spans")).as("n_spans"),
-          size(filter(col("spans"), x => x.getField("kind") === "media")).as("n_media"))
-        .orderBy(col("doc_id"))
-    },
+      }.toDF("doc_id", "pdf")
+  }
+
+  /** q57 parse stage over (doc_id, pdf bytes) rows. */
+  def pdfParse(s: SparkSession, raw: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.parse.PdfExtract.extractDocs(
+        raw.select(col("doc_id"), col("pdf")).as[(String, Array[Byte])])
+      .toDF()
+      .select(col("doc_id"), size(col("spans")).as("n_spans"),
+        size(filter(col("spans"), x => x.getField("kind") === "media")).as("n_media"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q57 = QueryDef("q57_pdf_extract",
+    (s, d) => pdfParse(s, pdfRender(s, d)),
     Some("""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
               CAST(CASE WHEN length(trim(text)) = 0 THEN 1
                    ELSE len(string_split_regex(trim(text), '\s+')) + 1 END AS INT)
@@ -1569,30 +1585,42 @@ object Queries {
   // production Karp–Rabin path (q36/q43, graft.text.Winnow) but with
   // md5-hex k-gram hashes both engines compute bit-identically, so the
   // rolling-min + dedup + sort machinery itself is oracled end-to-end.
-  // All per-doc work is ONE flat projection (codegen CSE dedups the
-  // repeated subtrees; no Generate boundary, so no persist barrier
-  // needed — cf. the q24 trap).
+  // Shape note: this is deliberately RELATIONAL (explode → window min
+  // → group), not a per-doc HOF — a nested `transform(..., j =>
+  // slice(grams, j, w))` re-inlines the md5 gram array into the lambda
+  // and recomputes it per window (O(n²) interpreted md5 per doc; HOF
+  // lambdas sit outside codegen CSE). The window form is one exchange
+  // on doc_id, reused by the groupBy.
   private val WinnowMdK = 5
   private val WinnowMdW = 4
   private val q60 = QueryDef("q60_winnow_md5_oracle",
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val k = WinnowMdK
       val w = WinnowMdW
       val base = t(s, d, "documents")
         .filter(length(col("text")) >= k)
         .select(col("doc_id"), col("text"),
           (length(col("text")) - k + 1).as("n"))
-      val grams = base.select(col("doc_id"), col("n"),
-        transform(sequence(lit(1), col("n")),
-          i => md5(col("text").substr(i, lit(k)))).as("g"))
-      // windows start at 1..max(n-w+1, 1); the last windows clamp at
-      // the array end (min(i+w, len) in Winnow.fingerprints)
-      val mins = grams.select(col("doc_id"),
-        array_sort(array_distinct(
-          transform(sequence(lit(1), greatest(col("n") - w + 1, lit(1))),
-            j => array_min(slice(col("g"), j,
-              least(lit(w), col("n") - j + 1)))))).as("fps"))
-      mins.select(col("doc_id"),
+      // pre-slice the k-grams as ONE array per doc and explode THAT:
+      // exploding a (doc_id, n, text, i) row set would copy the whole
+      // text into every gram row (≈n× duplication through Generate);
+      // the array is the Generate input, evaluated once per doc
+      val grams = base
+        .select(col("doc_id"), col("n"),
+          posexplode(transform(sequence(lit(1), col("n")),
+            i => col("text").substr(i, lit(k)))).as(Seq("p", "gram")))
+        .select(col("doc_id"), col("n"), (col("p") + 1).as("i"),
+          md5(col("gram")).as("h"))
+      // rolling min over each w-gram window; the frame clamps at the
+      // partition end exactly like min(i+w, len) in Winnow.fingerprints
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(Window.currentRow, w - 1)
+      grams.withColumn("fp", min(col("h")).over(win))
+        .filter(col("i") <= greatest(col("n") - w + 1, lit(1)))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_set(col("fp"))).as("fps"))
+        .select(col("doc_id"),
           size(col("fps")).cast("bigint").as("n_fps"),
           md5(array_join(col("fps"), ",")).as("fp_digest"))
         .orderBy(col("doc_id"))

@@ -136,6 +136,42 @@ class CheckpointSpec extends SparkSpecBase {
     assert(snap.entries()(7).nSpans == 20)
   }
 
+  test("schema evolution: later snapshots add a column; time travel keeps the old schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-evo").toString
+    val snap = new SnapshotStore(spark, tmp)
+    // v1: partition 0 under the original schema
+    val p0 = snap.newDataPath(0)
+    Seq(("a", 1), ("b", 2)).toDF("doc_id", "n").write.parquet(p0)
+    snap.commit(0, p0, 2, 2, 0)
+    // v2: partition 1 committed by a NEWER release with an added column
+    val p1 = snap.newDataPath(1)
+    Seq(("c", 3, "de")).toDF("doc_id", "n", "lang").write.parquet(p1)
+    snap.commit(1, p1, 1, 1, 0)
+
+    // current read merges schemas: old rows null-backfill the new column
+    val cur = snap.read()
+    assert(cur.columns.toSet == Set("doc_id", "n", "lang"))
+    assert(cur.count() == 3)
+    assert(cur.filter(col("lang").isNull).count() == 2)
+    // time travel to v1: the old schema, no phantom column
+    val v1 = snap.read(Some(1L))
+    assert(v1.columns.toSet == Set("doc_id", "n"))
+    assert(v1.count() == 2)
+
+    // MERGE partition 0 up to the evolved schema, then expire history:
+    // the current view survives with the merged schema intact
+    val p0b = snap.newDataPath(0)
+    Seq(("a", 1, "en"), ("b", 2, "en")).toDF("doc_id", "n", "lang").write.parquet(p0b)
+    snap.commit(0, p0b, 2, 2, 0)
+    assert(snap.read().filter(col("lang").isNull).count() == 0)
+    val (m, d) = snap.expire(1)
+    assert(m == 2 && d >= 1)
+    assert(snap.read().count() == 3)
+    assert(snap.read().columns.toSet == Set("doc_id", "n", "lang"))
+  }
+
   test("legacy marker-only layout: backfill adopts data, expire GCs superseded files") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-legacy").toString
