@@ -116,7 +116,48 @@ object PdfExtract {
         out(num) = (s.substring(bodyStart, bodyEnd), null)
       }
     }
+    // PDF 1.5 compressed object streams (/Type/ObjStm, ISO 32000
+    // §7.5.7): modern writers put the PAGE DICTS there, invisible to
+    // the top-level lexical scan — decode each and merge its embedded
+    // objects (dict-only by spec). A top-level object with the same
+    // number wins (it is the incremental-update convention).
+    out.toSeq.collect {
+      case (_, (dict, data)) if data != null && ObjStmPat.matcher(dict).find() =>
+        parseObjStm(dict, data)
+    }.flatten.foreach { case (num, body) =>
+      if (!out.contains(num)) out(num) = (body, null)
+    }
     out.toMap
+  }
+
+  private val ObjStmPat = java.util.regex.Pattern.compile("/Type\\s*/ObjStm")
+
+  /** Embedded (objNum, body-source) pairs of one object stream: the
+    * decoded payload starts with N "objnum offset" pairs; bodies sit
+    * at /First + offset. */
+  private def parseObjStm(dict: String, data: Array[Byte]): Seq[(Int, String)] = {
+    val decoded = decodeStream(dict, data)
+    if (decoded.isEmpty) return Nil
+    val s = new String(decoded, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def intKey(key: String): Int = {
+      val m = java.util.regex.Pattern.compile(key + "\\s+(\\d+)").matcher(dict)
+      if (m.find()) m.group(1).toInt else -1
+    }
+    val n = intKey("/N")
+    val first = intKey("/First")
+    if (n <= 0 || first < 0 || first > s.length) return Nil
+    val pairs = mutable.ArrayBuffer.empty[(Int, Int)]
+    val m = java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)")
+      .matcher(s.substring(0, first))
+    while (m.find() && pairs.length < n)
+      pairs += ((m.group(1).toInt, m.group(2).toInt))
+    pairs.zipWithIndex.map { case ((num, off), idx) =>
+      val start = math.min(first + off, s.length)
+      val end = math.min(
+        if (idx + 1 < pairs.length) first + pairs(idx + 1)._2 else s.length,
+        s.length)
+      (num, s.substring(start, math.max(end, start)))
+    }.toSeq
   }
 
   // `/Type/Page` with NO separator is legal per ISO 32000 (a name ends

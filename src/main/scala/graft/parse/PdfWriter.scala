@@ -46,9 +46,15 @@ object PdfWriter {
     *                  origin bottom-left)
     * @param flate     FlateDecode the content streams
     * @param withImage add a 1×1 image XObject + `Do` per page
+    * @param objStm    pack the dict objects (catalog/pages/font/page)
+    *                  into a PDF 1.5 compressed object stream
+    *                  (/Type/ObjStm), as modern writers do — stream
+    *                  objects stay top-level (ISO 32000 §7.5.7 forbids
+    *                  streams inside object streams)
     */
   def render(pages: Seq[Seq[(Double, Double, String)]],
-      flate: Boolean = false, withImage: Boolean = false): Array[Byte] = {
+      flate: Boolean = false, withImage: Boolean = false,
+      objStm: Boolean = false): Array[Byte] = {
     val nPages = pages.length
     // object layout: 1 catalog, 2 pages, 3 font, [4 image],
     // then per page: pageObj, contentObj
@@ -93,16 +99,41 @@ object PdfWriter {
           data ++ "\nendstream".getBytes(ISO_8859_1)
     }
 
+    // objStm mode: move every dict-only object into one compressed
+    // object stream; content/image streams stay top-level
+    val emitted: Seq[(Int, Array[Byte])] =
+      if (!objStm) objs.toSeq.sortBy(_._1)
+      else {
+        val (streamObjs, dictObjs) = objs.toSeq.sortBy(_._1).partition {
+          case (_, body) => new String(body, ISO_8859_1).contains("stream")
+        }
+        val header = new StringBuilder
+        val bodies = new StringBuilder
+        dictObjs.foreach { case (n, body) =>
+          header.append(n).append(' ').append(bodies.length).append(' ')
+          bodies.append(new String(body, ISO_8859_1)).append('\n')
+        }
+        val first = header.length
+        val payload = (header.toString + bodies).getBytes(ISO_8859_1)
+        val data = deflate(payload)
+        val stmNum = objs.keys.max + 1
+        val stmBody =
+          (s"<< /Type /ObjStm /N ${dictObjs.length} /First $first " +
+            s"/Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+            .getBytes(ISO_8859_1) ++ data ++ "\nendstream".getBytes(ISO_8859_1)
+        streamObjs :+ (stmNum -> stmBody)
+      }
+
     val out = new java.io.ByteArrayOutputStream()
-    out.write("%PDF-1.4\n".getBytes(ISO_8859_1))
+    out.write((if (objStm) "%PDF-1.5\n" else "%PDF-1.4\n").getBytes(ISO_8859_1))
     val offsets = scala.collection.mutable.Map.empty[Int, Int]
-    objs.toSeq.sortBy(_._1).foreach { case (num, body) =>
+    emitted.foreach { case (num, body) =>
       offsets(num) = out.size()
       out.write(s"$num 0 obj\n".getBytes(ISO_8859_1))
       out.write(body)
       out.write("\nendobj\n".getBytes(ISO_8859_1))
     }
-    val maxNum = objs.keys.max
+    val maxNum = emitted.map(_._1).max
     val xrefPos = out.size()
     val sb = new StringBuilder(s"xref\n0 ${maxNum + 1}\n0000000000 65535 f \n")
     (1 to maxNum).foreach { n =>

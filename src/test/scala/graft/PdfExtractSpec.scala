@@ -122,6 +122,42 @@ class PdfExtractSpec extends SparkSpecBase {
     assert(texts(PdfExtract.extract(pdf, "d")) == Seq("verwaist"))
   }
 
+  test("PDF 1.5 object streams: page dicts inside /Type/ObjStm are found") {
+    // writer round-trip in objStm mode: catalog/pages/font/page dicts
+    // exist ONLY inside the FlateDecode'd object stream
+    val pdf = PdfWriter.render(Seq(
+      Seq((72.0, 700.0, "erste seite inhalt"), (72.0, 686.0, "zweite zeile")),
+      Seq((72.0, 700.0, "seite zwei"))),
+      flate = true, withImage = true, objStm = true)
+    assert(!new String(pdf, ISO_8859_1).contains("/Catalog"),
+      "dict objects leaked to the top level — objStm mode not exercised")
+    val spans = PdfExtract.extract(pdf, "d")
+    assert(texts(spans) ==
+      Seq("erste", "seite", "inhalt", "zweite", "zeile", "seite", "zwei"))
+    assert(spans.count(_.kind == graft.model.Span.KindMedia) == 2)
+
+    // handcrafted UNCOMPRESSED object stream (no /Filter), embedded
+    // objects referencing a top-level content stream
+    val dicts = Seq(
+      1 -> "<< /Type/Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type/Pages /Kids [ 3 0 R ] /Count 1 >>",
+      3 -> "<< /Type/Page /Parent 2 0 R /Contents 4 0 R >>")
+    val hdr = new StringBuilder
+    val bod = new StringBuilder
+    dicts.foreach { case (n, d) =>
+      hdr.append(n).append(' ').append(bod.length).append(' ')
+      bod.append(d).append(' ')
+    }
+    val payload = hdr.toString + bod
+    val c1 = "BT 72 700 Td (eingebettet) Tj ET"
+    val raw = ("%PDF-1.5\n" +
+      s"5 0 obj << /Type /ObjStm /N 3 /First ${hdr.length} " +
+      s"/Length ${payload.length} >>\nstream\n$payload\nendstream endobj\n" +
+      s"4 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream endobj\n" +
+      "%%EOF\n").getBytes(ISO_8859_1)
+    assert(texts(PdfExtract.extract(raw, "d")) == Seq("eingebettet"))
+  }
+
   test("distributed extraction over Spark (mapPartitions path)") {
     import spark.implicits._
     val rows = (0 until 40).map { i =>

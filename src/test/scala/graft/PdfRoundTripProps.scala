@@ -31,11 +31,13 @@ object PdfRoundTripProps extends Properties("PdfRoundTrip") {
     lines.zipWithIndex.map { case (ws, i) => (72.0, 720.0 - i * 14.0, ws.mkString(" ")) }
 
   property("every token survives the round trip, in order") =
-    forAll(pageGen, Gen.oneOf(true, false)) { (lines, flate) =>
-      val pdf = PdfWriter.render(Seq(place(lines)), flate = flate)
-      val got = PdfExtract.extract(pdf, "p").filter(_.kind == Span.KindText).map(_.text)
-      val want = lines.flatMap(_.flatMap(_.split("\\s+")).filter(_.nonEmpty))
-      got == want
+    forAll(pageGen, Gen.oneOf(true, false), Gen.oneOf(true, false)) {
+      (lines, flate, objStm) =>
+        val pdf = PdfWriter.render(Seq(place(lines)), flate = flate,
+          objStm = objStm)
+        val got = PdfExtract.extract(pdf, "p").filter(_.kind == Span.KindText).map(_.text)
+        val want = lines.flatMap(_.flatMap(_.split("\\s+")).filter(_.nonEmpty))
+        got == want
     }
 
   property("line refs follow the placement lines that carry tokens") =
