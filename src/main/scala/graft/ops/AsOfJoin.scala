@@ -45,11 +45,15 @@ object AsOfJoin {
     * @param toleranceSecs max |left.ts - right.ts| (seconds for
     *                timestamp columns, plain units for numeric ones);
     *                matches beyond it become null
+    * @param allowExactMatches pandas-compatible knob: when false the
+    *                boundary is strict (`<` / `>`) — right rows AT the
+    *                left timestamp no longer match
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, carry: Seq[String],
       direction: String = "backward",
-      toleranceSecs: Option[Double] = None): DataFrame = {
+      toleranceSecs: Option[Double] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"unknown as-of direction '$direction'")
     val rStruct = struct((rightTs +: carry).map(col): _*)
@@ -72,13 +76,16 @@ object AsOfJoin {
 
     // right rows sort BEFORE left rows at the same _ts (desc _isR) so
     // the running last() makes the boundary inclusive in BOTH
-    // directions; equal-ts right rows resolve by ascending payload
-    // struct (largest wins as the last seen)
+    // directions — or AFTER them (asc _isR) for the strict boundary
+    // when exact matches are disallowed; equal-ts right rows resolve
+    // by ascending payload struct (largest wins as the last seen)
+    val sameTsRightsFirst =
+      if (allowExactMatches) desc("_isR") else asc("_isR")
     val wBack = Window.partitionBy(col("_k"))
-      .orderBy(col("_ts"), desc("_isR"), col("_r"))
+      .orderBy(col("_ts"), sameTsRightsFirst, col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = Window.partitionBy(col("_k"))
-      .orderBy(desc("_ts"), desc("_isR"), col("_r"))
+      .orderBy(desc("_ts"), sameTsRightsFirst, col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val u = lt.unionByName(rt)

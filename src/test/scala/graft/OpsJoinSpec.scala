@@ -46,14 +46,15 @@ class OpsJoinSpec extends SparkSpecBase {
     val left = lrows.map { case (id, k, s) => (id, k, ts(s)) }.toDF("id", "k", "t")
     val right = rrows.map { case (k, s, v) => (k, ts(s), v) }.toDF("k", "t", "v")
 
-    def brute(dir: String, tol: Option[Double]): Map[Long, Long] =
+    def brute(dir: String, tol: Option[Double],
+        exact: Boolean = true): Map[Long, Long] =
       lrows.map { case (id, k, lt) =>
         val cands = rrows.filter(_._1 == k)
         // tie rules mirror the operator: equal ts → largest payload
         // struct (ts, v); nearest equal gap → backward
-        val back = cands.filter(_._2 <= lt)
+        val back = cands.filter(c => if (exact) c._2 <= lt else c._2 < lt)
           .sortBy(c => (c._2, c._3)).lastOption
-        val fwd = cands.filter(_._2 >= lt)
+        val fwd = cands.filter(c => if (exact) c._2 >= lt else c._2 > lt)
           .sortBy(c => (-c._2, c._3)).lastOption
         val pick = dir match {
           case "backward" => back
@@ -76,6 +77,19 @@ class OpsJoinSpec extends SparkSpecBase {
         .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
         .toMap
       assert(got == brute(dir, tol), s"direction=$dir tolerance=$tol")
+    }
+
+    // strict boundary (allowExactMatches = false): equal-ts rights are
+    // excluded — the colliding timestamps above make this bite
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = AsOfJoin.asOf(left, right, "k", "t", "t", Seq("v"),
+          direction = dir, allowExactMatches = false)
+        .select(col("id"), col("asof.v"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      val want = brute(dir, None, exact = false)
+      assert(got == want, s"strict direction=$dir")
+      assert(got != brute(dir, None), s"strict $dir did not differ — data has no equal-ts pair?")
     }
   }
 

@@ -98,6 +98,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), s"IVF assign joins:\n$plan")
   }
 
+  test("q60 winnow: window exchange is REUSED by the groupBy (same key)") {
+    val df = graft.queries.Queries.all.find(_.name == "q60_winnow_md5_oracle").get
+      .fn(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    // one hash exchange on doc_id feeding window AND aggregate, plus
+    // the final total-order sort's range exchange — anything more
+    // means the groupBy stopped reusing the window's partitioning
+    // (the O(n²)-HOF formulation this replaced is also join-free)
+    val exchanges = plan.split("Exchange").length - 1
+    assert(exchanges <= 2, s"q60 shuffles $exchanges times:\n$plan")
+    assert(!plan.contains("Join"), s"q60 joins:\n$plan")
+  }
+
   test("whole-stage codegen wraps the relational aggregate (q01)") {
     val df = graft.queries.Queries.all.find(_.name == "q01_agg").get
       .fn(spark, "/root/testdata/sf0.001")
