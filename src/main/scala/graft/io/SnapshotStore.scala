@@ -30,9 +30,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class SnapshotStore(spark: SparkSession, root: String) {
 
-  /** One manifest line: a partition's committed state. */
+  /** One manifest line: a partition's committed state. `schemaHash`
+    * fingerprints the data files' Spark schema (md5 of schema JSON) so
+    * reads can decide cheaply whether a cross-partition schema merge
+    * is needed; empty for pre-fingerprint manifests (conservatively
+    * treated as "might diverge"). */
   final case class Entry(part: Int, path: String, nDocs: Long,
-      nSpans: Long, nFailures: Long, committedAt: String)
+      nSpans: Long, nFailures: Long, committedAt: String,
+      schemaHash: String = "")
 
   private val snapDir = s"$root/snapshots"
   private def fs: FileSystem =
@@ -69,10 +74,17 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * partition's (MERGE/overwrite-partition). Returns the version. */
   def commit(part: Int, dataPath: String, nDocs: Long, nSpans: Long,
       nFailures: Long): Long = {
+    // one footer read per COMMIT buys every future read() the right
+    // to skip Spark's all-files schema-merge pass (see read())
+    val schemaHash = try {
+      val json = spark.read.parquet(dataPath).schema.json
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    } catch { case _: Exception => "" }
     val cur = currentVersion()
     val next = cur.getOrElse(0L) + 1
     val merged = entries(cur) + (part -> Entry(part, dataPath, nDocs,
-      nSpans, nFailures, java.time.Instant.now.toString))
+      nSpans, nFailures, java.time.Instant.now.toString, schemaHash))
     val tmp = new Path(snapDir, s"_tmp.v$next.${System.nanoTime()}")
     fs.mkdirs(new Path(snapDir))
     val out = fs.create(tmp, true)
@@ -81,7 +93,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       merged.values.toSeq.sortBy(_.part).foreach { e =>
         w.write(s"""{"part":${e.part},"path":${json(e.path)},"n_docs":${e.nDocs},""" +
           s""""n_spans":${e.nSpans},"n_failures":${e.nFailures},""" +
-          s""""committed_at":${json(e.committedAt)}}""" + "\n")
+          s""""committed_at":${json(e.committedAt)},""" +
+          s""""schema":${json(e.schemaHash)}}""" + "\n")
       }
       w.flush()
     } finally out.close()
@@ -102,15 +115,20 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 
   /** Consistent read of the table at a snapshot (default: current):
     * exactly the manifest's paths, immune to concurrent commits.
-    * `mergeSchema` makes SCHEMA EVOLUTION work across partitions
-    * committed under different releases: a partition written with an
-    * added column unions with older ones (nulls backfill) — and a
+    * SCHEMA EVOLUTION: when the manifest's schema fingerprints show
+    * the partitions diverge (a column added by a newer release),
+    * `mergeSchema` unions them (nulls backfill) — and a
     * version-pinned read still sees exactly the schema of ITS files
-    * (time travel includes the schema). */
+    * (time travel includes the schema). When all fingerprints agree —
+    * the overwhelmingly common case — the merge pass (a footer read
+    * of EVERY data file) is skipped; entries from pre-fingerprint
+    * manifests merge conservatively. */
   def read(version: Option[Long] = None): DataFrame = {
     val es = entries(version)
     require(es.nonEmpty, "empty table: no committed snapshot")
-    spark.read.option("mergeSchema", "true")
+    val hashes = es.values.map(_.schemaHash).toSet
+    val needMerge = hashes.size > 1 || hashes.contains("")
+    spark.read.option("mergeSchema", needMerge.toString)
       .parquet(es.values.toSeq.sortBy(_.part).map(_.path): _*)
   }
 
@@ -143,6 +161,9 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
       .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
       .sorted(Ordering.Long.reverse)
+    // no manifests → an empty referenced-set would GC EVERY data dir;
+    // a store with no committed snapshot has nothing safe to expire
+    if (versions.isEmpty) return (0, 0)
     val (keep, drop) = versions.splitAt(keepLast)
     // fully qualify BOTH sides before comparing: manifest entries may
     // hold relative or scheme-less paths while listStatus returns
@@ -190,13 +211,17 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       val m = java.util.regex.Pattern.compile("\"" + k + "\":(-?\\d+)").matcher(line)
       require(m.find(), s"bad manifest line: $line"); m.group(1).toLong
     }
-    def grabStr(k: String): String = {
+    def grabStr(k: String, required: Boolean = true): String = {
       val m = java.util.regex.Pattern
         .compile("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(line)
-      require(m.find(), s"bad manifest line: $line")
+      if (!m.find()) {
+        require(!required, s"bad manifest line: $line")
+        return "" // pre-fingerprint manifest: field absent
+      }
       m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
     }
     Entry(grabNum("part").toInt, grabStr("path"), grabNum("n_docs"),
-      grabNum("n_spans"), grabNum("n_failures"), grabStr("committed_at"))
+      grabNum("n_spans"), grabNum("n_failures"), grabStr("committed_at"),
+      grabStr("schema", required = false))
   }
 }

@@ -102,8 +102,10 @@ object Media {
         if (j >= b.length) return null
         val m = u8(b, j)
         if ((m >= 0xC0 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC) {
-          // SOF: len(2) precision(1) height(2) width(2)
-          return if (j + 8 < b.length) (be16(b, j + 6), be16(b, j + 4)) else null
+          // SOF: len(2) precision(1) height(2) width(2) — the last
+          // byte read is j+7, so a buffer ending exactly at the width
+          // field (a cropped header probe) still decodes
+          return if (j + 7 < b.length) (be16(b, j + 6), be16(b, j + 4)) else null
         } else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) {
           i = j + 1 // standalone marker
         } else if (m == 0xD9 || m == 0xDA) {

@@ -128,10 +128,12 @@ object HtmlExtract {
     val text = new java.lang.StringBuilder
     var nLinkWords = 0
     var linkDepth = 0
-    // stack of OPEN boilerplate elements: a stray close tag (common in
-    // tag soup, e.g. a </script> left over from a raw-text skip) must
-    // not un-drop an UNRELATED enclosing subtree, so closes only pop
-    // when they match the innermost open drop element
+    // stack of OPEN boilerplate elements: a close tag pops up to and
+    // including its match anywhere on the stack (mis-nested inner
+    // elements were implicitly closed — tag-soup recovery), while a
+    // close for a name never opened (e.g. a stray </script> left over
+    // from a raw-text skip) is ignored and cannot un-drop an
+    // UNRELATED enclosing subtree
     var dropStack: List[String] = Nil
     def dropDepth: Int = dropStack.length
     val images = mutable.ArrayBuffer.empty[String]

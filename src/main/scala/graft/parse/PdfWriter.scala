@@ -100,7 +100,11 @@ object PdfWriter {
     }
 
     // objStm mode: move every dict-only object into one compressed
-    // object stream; content/image streams stay top-level
+    // object stream; content/image streams stay top-level. stmIndex
+    // records each packed object's position for the type-2 xref
+    // entries below.
+    var stmNum = -1
+    val stmIndex = scala.collection.mutable.Map.empty[Int, Int]
     val emitted: Seq[(Int, Array[Byte])] =
       if (!objStm) objs.toSeq.sortBy(_._1)
       else {
@@ -109,14 +113,15 @@ object PdfWriter {
         }
         val header = new StringBuilder
         val bodies = new StringBuilder
-        dictObjs.foreach { case (n, body) =>
+        dictObjs.zipWithIndex.foreach { case ((n, body), idx) =>
+          stmIndex(n) = idx
           header.append(n).append(' ').append(bodies.length).append(' ')
           bodies.append(new String(body, ISO_8859_1)).append('\n')
         }
         val first = header.length
         val payload = (header.toString + bodies).getBytes(ISO_8859_1)
         val data = deflate(payload)
-        val stmNum = objs.keys.max + 1
+        stmNum = objs.keys.max + 1
         val stmBody =
           (s"<< /Type /ObjStm /N ${dictObjs.length} /First $first " +
             s"/Length ${data.length} /Filter /FlateDecode >>\nstream\n")
@@ -133,15 +138,47 @@ object PdfWriter {
       out.write(body)
       out.write("\nendobj\n".getBytes(ISO_8859_1))
     }
-    val maxNum = emitted.map(_._1).max
-    val xrefPos = out.size()
-    val sb = new StringBuilder(s"xref\n0 ${maxNum + 1}\n0000000000 65535 f \n")
-    (1 to maxNum).foreach { n =>
-      sb.append(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n")
+    if (!objStm) {
+      val maxNum = emitted.map(_._1).max
+      val xrefPos = out.size()
+      val sb = new StringBuilder(s"xref\n0 ${maxNum + 1}\n0000000000 65535 f \n")
+      (1 to maxNum).foreach { n =>
+        sb.append(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n")
+      }
+      sb.append(s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R >>\n")
+      sb.append(s"startxref\n$xrefPos\n%%EOF\n")
+      out.write(sb.toString.getBytes(ISO_8859_1))
+    } else {
+      // PDF 1.5 files MUST reference compressed objects through a
+      // cross-reference STREAM (ISO 32000 §7.5.8): type-1 entries for
+      // top-level objects, type-2 (stream number, index) for objects
+      // living inside the ObjStm, the xref stream itself included.
+      // A classic xref can't express type 2 — writing one with fake
+      // offsets would be a structurally invalid file.
+      val xrefNum = emitted.map(_._1).max + 1
+      val xrefPos = out.size()
+      val size = xrefNum + 1
+      val entries = new java.io.ByteArrayOutputStream()
+      def entry(t: Int, f2: Int, f3: Int): Unit = { // W = [1 4 2]
+        entries.write(t)
+        entries.write((f2 >>> 24) & 0xFF); entries.write((f2 >>> 16) & 0xFF)
+        entries.write((f2 >>> 8) & 0xFF); entries.write(f2 & 0xFF)
+        entries.write((f3 >>> 8) & 0xFF); entries.write(f3 & 0xFF)
+      }
+      entry(0, 0, 0xFFFF) // object 0: the free-list head
+      (1 until size).foreach { n =>
+        if (n == xrefNum) entry(1, xrefPos, 0)
+        else if (offsets.contains(n)) entry(1, offsets(n), 0)
+        else if (stmIndex.contains(n)) entry(2, stmNum, stmIndex(n))
+        else entry(0, 0, 0xFFFF)
+      }
+      val data = entries.toByteArray
+      out.write((s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [ 1 4 2 ] " +
+        s"/Root 1 0 R /Length ${data.length} >>\nstream\n").getBytes(ISO_8859_1))
+      out.write(data)
+      out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+      out.write(s"startxref\n$xrefPos\n%%EOF\n".getBytes(ISO_8859_1))
     }
-    sb.append(s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R >>\n")
-    sb.append(s"startxref\n$xrefPos\n%%EOF\n")
-    out.write(sb.toString.getBytes(ISO_8859_1))
     out.toByteArray
   }
 }

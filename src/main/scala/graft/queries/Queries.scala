@@ -1660,7 +1660,13 @@ object Queries {
   private val q61 = QueryDef("q61_ingest_mixed_formats",
     (s, _) => {
       import graft.model.{Doc, Span}
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q61").toString
+      // ONE deterministic fixture dir, rewritten idempotently (same
+      // bytes every call) — a fresh temp dir per invocation would leak
+      // across bench/verify iterations. Driver-local /tmp is valid for
+      // this harness's single-host runs; a cluster deployment would
+      // point readFiles at shared storage instead.
+      val tmp = "/tmp/graft_q61_fixture"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
       def put(name: String, bytes: Array[Byte]): Unit =
         java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/$name"), bytes)
       val altoDoc = Doc("alto_a", Vector(

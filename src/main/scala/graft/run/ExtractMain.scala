@@ -53,9 +53,13 @@ object ExtractMain {
     * manifests). Resume keyed solely on the snapshot store would
     * silently reprocess everything and strand the old files as
     * orphans the manifest GC can't see. On startup, if markers exist
-    * but no manifest does, backfill a manifest entry per legacy
-    * partition whose data dir completed (`_SUCCESS`), carrying the
-    * marker's lineage; markers without data get an explicit
+    * but no manifest does, each completed legacy partition's loose
+    * files are MOVED into a synthetic `a_legacy` attempt dir and that
+    * dir is committed (lineage carried from the marker). Referencing
+    * `data/p_N` itself would be wrong: it is the PARENT of all future
+    * attempt dirs, so a later recommit would nest new files inside a
+    * path older manifests still list recursively — double-reads under
+    * time travel. Markers without completed data get an explicit
     * full-reprocess warning instead of a silent one. */
   def backfillLegacy(spark: SparkSession, outRoot: String,
       ckpt: Checkpoint, snap: graft.io.SnapshotStore): Unit = {
@@ -68,7 +72,13 @@ object ExtractMain {
       val p = r.getAs[Int]("part")
       val dataDir = new org.apache.hadoop.fs.Path(s"$outRoot/data/p_$p")
       if (fs.exists(new org.apache.hadoop.fs.Path(dataDir, "_SUCCESS"))) {
-        val v = snap.commit(p, dataDir.toString, r.getAs[Long]("n_docs"),
+        val legacyAttempt = new org.apache.hadoop.fs.Path(dataDir, "a_legacy")
+        fs.mkdirs(legacyAttempt)
+        fs.listStatus(dataDir).filter(_.isFile).foreach { f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
+            legacyAttempt, f.getPath.getName))
+        }
+        val v = snap.commit(p, legacyAttempt.toString, r.getAs[Long]("n_docs"),
           r.getAs[Long]("n_spans"), r.getAs[Long]("n_failures"))
         println(s"[extract] backfilled legacy part=$p into snapshot v$v")
       } else {

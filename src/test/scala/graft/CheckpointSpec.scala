@@ -199,30 +199,37 @@ class CheckpointSpec extends SparkSpecBase {
     }
     assert(snap.currentVersion().isEmpty)
 
-    // resume: the backfill must ADOPT the legacy data — entries point
-    // at data/p_N itself and the corpus is byte-identical, not rebuilt
+    // resume: the backfill must ADOPT the legacy data — loose files
+    // move into a synthetic a_legacy attempt dir (NOT data/p_N itself,
+    // which is the parent of future attempts) and the corpus is
+    // byte-identical, not rebuilt
     ExtractMain.run(spark, spansPath, outRoot, nParts = 2)
     assert(snap.done() == Set(0, 1))
-    assert(snap.entries().values.forall(e =>
-      e.path.endsWith("p_0") || e.path.endsWith("p_1")),
+    assert(snap.entries().values.forall(_.path.endsWith("a_legacy")),
       s"reprocessed instead of adopting: ${snap.entries()}")
     val resumed = snap.read().select($"doc_id", $"n_words").as[(String, Int)]
       .collect().sortBy(_._1).toSeq
     assert(resumed == full)
 
-    // once a legacy partition is superseded by a fresh attempt
-    // (compact = rewrite + repoint), expire must GC the loose legacy
-    // files too, not only attempt DIRS
+    // the nesting regression this layout prevents: a version pinned
+    // BEFORE a later recommit must keep reading exactly its own files
+    val vAdopt = snap.currentVersion().get
     snap.compact(0)
-    // count VISIBLE files (Hadoop's local FS hides .crc checksum
-    // siblings from listStatus; fs.delete removes them with the file)
-    def visibleFiles() = new java.io.File(s"$outRoot/data/p_0")
-      .listFiles().count(f => f.isFile && !f.getName.startsWith("."))
-    val legacyFiles = visibleFiles()
-    assert(legacyFiles > 0)
+    assert(snap.read(Some(vAdopt)).count() == 60,
+      "time-travel read double-counts after recommit")
+    assert(snap.read().count() == 60)
+
+    // expire then GCs the superseded a_legacy dir like any attempt —
+    // and still sweeps loose files under a partition dir no manifest
+    // references (a warned, never-backfilled root)
+    val stray = new java.io.File(s"$outRoot/data/p_9")
+    stray.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(stray, "orphan.parquet").toPath, "x")
     val (_, removed) = snap.expire(1)
-    assert(removed >= legacyFiles, s"legacy files survived GC: $removed")
-    assert(visibleFiles() == 0)
+    assert(removed >= 2, s"expected a_legacy dir + stray file GC'd: $removed")
+    assert(!new java.io.File(s"$outRoot/data/p_0/a_legacy").exists())
+    assert(new java.io.File(s"$outRoot/data/p_9").listFiles().forall(_.isDirectory))
     assert(snap.read().count() == 60)
   }
 }
