@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list —
+  * the step that turns near-dup candidate PAIRS (minhash-LSH banding,
+  * [[graft.dedup.MinHashLsh]]) into dedup CLUSTERS with a canonical
+  * survivor per component, which is what a training-data pipeline
+  * actually keeps.
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts
+  * labeled with itself; each round every vertex takes the min of its
+  * own label and its neighbors' labels (one shuffle join + one
+  * map-side-combined aggregate per round over two narrow columns);
+  * stop at fixpoint. Rounds needed = the largest component's
+  * DIAMETER.
+  *
+  * Scale rationale: near-dup graphs are forests of tiny, dense
+  * clusters (diameter 2–4), so plain propagation converges in a
+  * handful of rounds and beats the large-star/small-star variant
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+  * which pays two extra shuffles per round to guarantee O(log n)
+  * rounds on ADVERSARIAL graphs — a long-chain topology no LSH output
+  * produces. `maxIter` bounds the pathological case anyway; each
+  * round's state is exactly |V| rows of (node, label), never edges ×
+  * labels materialized.
+  */
+object ConnectedComponents {
+
+  /** @param vertices one row per vertex (isolated vertices become
+    *                 singleton components)
+    * @param vCol     vertex id column in `vertices`
+    * @param edges    undirected edge list (any orientation, dups ok)
+    * @param srcCol   edge endpoint column
+    * @param dstCol   edge endpoint column
+    * @param maxIter  round bound for adversarial topologies
+    * @return (node, lbl) — lbl is the component's min vertex id
+    */
+  def run(vertices: DataFrame, vCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = vertices.select(col(vCol).as("node"), col(vCol).as("lbl"))
+      .persist()
+    labels.count() // materialize before the loop reuses it
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = sym
+        .join(labels, sym("src") === labels("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      // fixpoint probe: any vertex whose label still shrank this round?
+      converged = next
+        .join(labels.select(col("node"), col("lbl").as("prev")), "node")
+        .filter(col("lbl") =!= col("prev"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -1707,6 +1707,55 @@ object Queries {
               ('pdf_c', 4, 1, 0)) AS t(doc_id, n_text, n_media, n_err)
             ORDER BY doc_id"""))
 
+  // near-dup CLUSTERS: the step after candidate pairs that a real
+  // dedup pipeline keeps — connected components over the q24-style
+  // minhash-LSH edges (graft.ops.ConnectedComponents, min-label
+  // propagation), every doc labeled with its component's min doc_id,
+  // the canonical survivor flagged. Oracled end-to-end: DuckDB
+  // computes the SAME clusters via a recursive reachability CTE over
+  // the same md5-minhash edges.
+  private val q62 = QueryDef("q62_neardup_clusters",
+    (s, d) => {
+      val edges = graft.dedup.MinHashLsh.bandPairs(signatureDF(s, d), MinhashK, 2,
+          (a, b) => md5(concat_ws("_", a, b)), maxBucket = 0, ordered = false)
+        .select(col("d1"), col("d2"))
+      val vertices = t(s, d, "documents").select(col("doc_id"))
+      val cc = graft.ops.ConnectedComponents.run(vertices, "doc_id", edges, "d1", "d2")
+      val sizes = cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "lbl")
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+          col("cluster_size"),
+          (col("node") === col("lbl")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE tt AS (
+               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+               FROM documents),
+             ss AS (SELECT doc_id, $shingleSql AS sh FROM tt),
+             sig AS (SELECT doc_id, ${(0 until MinhashK).map(i =>
+               s"${minhashSqlExpr(i)} AS h$i").mkString(", ")} FROM ss),
+             bands AS (${(0 until MinhashK / 2).map(b =>
+               s"""SELECT doc_id, $b AS band,
+                   md5(CONCAT(h${2 * b}, '_', h${2 * b + 1})) AS bh FROM sig""")
+               .mkString(" UNION ALL ")}),
+             pairs AS (
+               SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+             edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                       UNION ALL SELECT d2, d1 FROM pairs),
+             reach(node, lbl) AS (
+               SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+             cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                    FROM reach GROUP BY node),
+             sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                    FROM cc GROUP BY 1)
+           SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
+             (cc.doc_id = cc.cluster_id) AS is_canonical
+           FROM cc JOIN sz USING (cluster_id) ORDER BY cc.doc_id"""))
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1714,5 +1763,5 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61)
+    q59, q60, q61, q62)
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, RangeJoin}
+import graft.ops.{AsOfJoin, ConnectedComponents, RangeJoin}
 
 /** Semantics + plan shape of the custom join operators (as-of join,
   * range join) — the two relational ops Spark lacks natively,
@@ -117,6 +117,21 @@ class OpsJoinSpec extends SparkSpecBase {
     val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
     assert(!plan.contains("Join"), s"asOf joins:\n$plan")
     assert(plan.split("Exchange").length - 1 == 1, s"asOf shuffles more than once:\n$plan")
+  }
+
+  test("connectedComponents: chain, triangle, singletons — min label per component") {
+    import spark.implicits._
+    // a 5-chain (diameter 4 → exercises several propagation rounds),
+    // a triangle with duplicate/reversed edges, two isolated vertices
+    val vertices = (1L to 10L).toDF("v")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (7L, 8L), (9L, 8L), (7L, 9L), (8L, 7L)).toDF("a", "b")
+    val got = ConnectedComponents.run(vertices, "v", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 10L))
   }
 
   test("rangeJoin: containment exact on half-open boundaries, multi-bin intervals") {
