@@ -9,14 +9,19 @@
 # GC note: the alloc-heavy families (parse, dedup, pdf) need ParallelGC
 # to clear 0.8 efficiency at multi-executor scale — G1 measured
 # 0.71-0.78 (parse, r2) / 0.755-0.766 (dedup, r3) on identical jobs;
-# the narrow extract family is GC-insensitive.
+# the narrow extract family is GC-insensitive. GC THREADS must track
+# EXECUTOR cores, not host cores: by default every executor JVM sizes
+# its ParallelGC pool from the host's 32 cores, so 4 co-located
+# executors run ~52 GC threads (r4 measured +5%/+1.5% from the cap —
+# on a real 1000-executor cluster with many executors per node this
+# is the difference between GC pauses overlapping compute or not).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 MODE="${1:-extract}"
 NDOCS="${2:-2000000}"
 JAR=target/scala-2.13/ocrpipelinespark_2.13-0.1.0.jar
-PGC="spark.executor.extraJavaOptions=-XX:+UseParallelGC"
+PGC="spark.executor.extraJavaOptions=-XX:+UseParallelGC -XX:ParallelGCThreads=4"
 
 sbt -batch package >/dev/null
 
