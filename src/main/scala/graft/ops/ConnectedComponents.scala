@@ -44,26 +44,34 @@ object ConnectedComponents {
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .persist()
-    var labels = vertices.select(col(vCol).as("node"), col(vCol).as("lbl"))
+    // `pinned` is the DataFrame that actually holds this round's cache
+    // (unpersist must target IT — calling unpersist on a derived
+    // projection is a no-op and would leak one cached round per
+    // iteration); `labels` is the (node, lbl) view of it
+    var pinned = vertices.select(col(vCol).as("node"), col(vCol).as("lbl"))
       .persist()
-    labels.count() // materialize before the loop reuses it
+    pinned.count() // materialize before the loop reuses it
+    var labels = pinned
 
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val viaNeighbors = sym
         .join(labels, sym("src") === labels("node"))
-        .select(col("dst").as("node"), col("lbl"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("node"), col("lbl"), lit(0).as("own"))
+      // the vertex's previous label rides along as `own=1`, so the SAME
+      // aggregate yields both the new label and the fixpoint signal —
+      // no extra probe join/shuffle per round
+      val next = labels.select(col("node"), col("lbl"), lit(1).as("own"))
+        .unionByName(viaNeighbors)
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"),
+          min(when(col("own") === 1, col("lbl"))).as("prev"))
         .persist()
-      // fixpoint probe: any vertex whose label still shrank this round?
-      converged = next
-        .join(labels.select(col("node"), col("lbl").as("prev")), "node")
-        .filter(col("lbl") =!= col("prev"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
+      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      pinned.unpersist()
+      pinned = next
+      labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
     sym.unpersist()
