@@ -39,19 +39,26 @@ object ConnectedComponents {
     */
   def run(vertices: DataFrame, vCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+    // lineage is truncated with eager localCheckpoint at every step —
+    // the standard tool for iterative DataFrame algorithms: each
+    // round's plan references the STORED blocks of the previous round
+    // directly, so re-references never replay the (expensive) edge
+    // derivation and the plan does not grow with the iteration count
+    // (persist() alone is fragile here: downstream plans may fail
+    // cache substitution and silently recompute the whole lineage).
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-      .persist()
-    // `pinned` is the DataFrame that actually holds this round's cache
-    // (unpersist must target IT — calling unpersist on a derived
-    // projection is a no-op and would leak one cached round per
-    // iteration); `labels` is the (node, lbl) view of it
-    var pinned = vertices.select(col(vCol).as("node"), col(vCol).as("lbl"))
-      .persist()
-    pinned.count() // materialize before the loop reuses it
-    var labels = pinned
+      .localCheckpoint()
+    // only vertices that touch an edge can ever change label — iterate
+    // over THAT subgraph and union everyone else back as singletons at
+    // the end. In a near-dup corpus the candidate-pair endpoints are a
+    // tiny fraction of the documents, so the per-round state shrinks
+    // from |V| to |endpoints|.
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
 
     var iter = 0
     var converged = false
@@ -67,14 +74,15 @@ object ConnectedComponents {
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"),
           min(when(col("own") === 1, col("lbl"))).as("prev"))
-        .persist()
+        .localCheckpoint()
       converged = next.filter(col("lbl") =!= col("prev")).isEmpty
-      pinned.unpersist()
-      pinned = next
       labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
-    sym.unpersist()
-    labels
+    // vertices outside every edge are their own components
+    val untouched = vertices.select(col(vCol).as("node"))
+      .join(labels.select(col("node")), Seq("node"), "left_anti")
+      .withColumn("lbl", col("node"))
+    labels.unionByName(untouched)
   }
 }

@@ -1720,7 +1720,8 @@ object Queries {
           (a, b) => md5(concat_ws("_", a, b)), maxBucket = 0, ordered = false)
         .select(col("d1"), col("d2"))
       val vertices = t(s, d, "documents").select(col("doc_id"))
-      val cc = graft.ops.ConnectedComponents.run(vertices, "doc_id", edges, "d1", "d2")
+      val cc = graft.ops.ConnectedComponents
+        .run(vertices, "doc_id", edges, "d1", "d2")
       val sizes = cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
       cc.join(sizes, "lbl")
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
