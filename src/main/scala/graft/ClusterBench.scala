@@ -30,6 +30,26 @@ object ClusterBench {
       8, 2, (a, b) => xxhash64(a, b))
   }
 
+  /** Cluster job: the full dedup DECISION pipeline — LSH banding to
+    * connectivity-preserving STAR edges (O(bucket) rows per bucket;
+    * all-pairs expansion explodes quadratically on the massive
+    * duplicate families a skewed corpus contains) plus connected
+    * components, every doc labeled with its cluster's canonical
+    * survivor. Iterative (label propagation with per-round
+    * localCheckpoint), so its scaling behavior is measured separately
+    * from the single-pass pair generation. */
+  private def clusterJob(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val text = concat_ws(" ", transform(col("spans"), s => s.getField("text")))
+    val edges = graft.dedup.MinHashLsh.bandStarEdges(
+      graft.dedup.MinHashLsh.xxhashSignature(
+        docs.select(col("doc_id"), text.as("text")), "doc_id", "text", 8),
+      8, 2, (a, b) => xxhash64(a, b))
+    graft.ops.ConnectedComponents.run(
+      docs.select(col("doc_id")), "doc_id", edges, "d1", "d2")
+  }
+
   /** Parse job: (doc_id, xml) rows → pooled-StAX parse → span docs
     * (the north_star front end: no per-row parser instantiation). */
   private def parseJob(spark: SparkSession, xmlPath: String)
@@ -120,6 +140,7 @@ object ClusterBench {
       job match {
         case "extract" => Bench.force(graft.stages.Extraction.pipeline(docs).toDF())
         case "dedup"   => Bench.force(dedupJob(docs)); spark.catalog.clearCache()
+        case "cluster" => Bench.force(clusterJob(docs)); spark.catalog.clearCache()
         case "parse"   => Bench.force(parseJob(spark, spansPath))
         case "pdf"     => Bench.force(pdfJob(spark, spansPath))
         case other     => throw new IllegalArgumentException(s"unknown job '$other'")
@@ -130,7 +151,10 @@ object ClusterBench {
     val execs = spark.sparkContext.getExecutorMemoryStatus.size - 1
     val cores = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.shuffle.partitions", math.max(cores, 2).toString)
-    val sec = (1 to 4).map(_ => Bench.time(runJob())).min
+    // SPARK_GRAFT_BENCH_RUNS overrides best-of-4 for long-running
+    // composite jobs (e.g. cluster = dedup + iterative components)
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(4)
+    val sec = (1 to nRuns).map(_ => Bench.time(runJob())).min
     println(f"""{"metric":"cluster-bench","label":"$label","job":"$job","executors":$execs,"cores":$cores,"n_docs":$n,"sec":$sec%.3f,"docs_per_sec":${n / sec}%.1f}""")
     spark.stop()
   }

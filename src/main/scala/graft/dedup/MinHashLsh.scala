@@ -63,9 +63,11 @@ object MinHashLsh {
       transform(slice(ids, i + 2, size(ids)), b =>
         struct(a.as("d1"), b.as("d2"))))))
 
-  def bandPairs(sigDf: DataFrame, k: Int, rowsPerBand: Int,
-      bandHash: (Column, Column) => Column, maxBucket: Int = 10000,
-      ordered: Boolean = false): DataFrame = {
+  /** Shared banding stage: sorted id-arrays per (band, band-hash)
+    * bucket, singleton buckets dropped, `maxBucket` hygiene applied
+    * (0 = unbounded). */
+  private def buckets(sigDf: DataFrame, k: Int, rowsPerBand: Int,
+      bandHash: (Column, Column) => Column, maxBucket: Int): DataFrame = {
     require(rowsPerBand == 2, "current banding packs 2 rows per band")
     val sig = sigDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = k / rowsPerBand
@@ -80,13 +82,37 @@ object MinHashLsh {
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val bounded =
-      if (maxBucket > 0) bucketed.filter(size(col("ids")) <= maxBucket)
-      else bucketed
-    val pairs = bounded
+    if (maxBucket > 0) bucketed.filter(size(col("ids")) <= maxBucket)
+    else bucketed
+  }
+
+  def bandPairs(sigDf: DataFrame, k: Int, rowsPerBand: Int,
+      bandHash: (Column, Column) => Column, maxBucket: Int = 10000,
+      ordered: Boolean = false): DataFrame = {
+    val pairs = buckets(sigDf, k, rowsPerBand, bandHash, maxBucket)
       .select(pairsOf(col("ids")).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("n_bands"))
     if (ordered) pairs.orderBy(col("d1"), col("d2")) else pairs
   }
+
+  /** Connectivity-preserving candidate EDGES for clustering: per
+    * (band, bucket) emit a STAR — the bucket's min doc as hub, one
+    * edge to every other member — instead of all intra-bucket pairs.
+    * Within a bucket every doc is already a mutual candidate, so the
+    * star spans exactly the same connected components as the
+    * quadratic pair expansion while emitting O(|bucket|) rows instead
+    * of O(|bucket|²) — the difference between a dedup-clustering job
+    * that finishes and one that explodes on a corpus with massive
+    * duplicate families (the exact buckets near-dup detection exists
+    * to find; no `maxBucket` cap needed, the default is unbounded).
+    * Feed the result to [[graft.ops.ConnectedComponents]]. Output:
+    * distinct (d1, d2), d1 < d2, no per-pair band counts (meaningless
+    * for connectivity). */
+  def bandStarEdges(sigDf: DataFrame, k: Int, rowsPerBand: Int,
+      bandHash: (Column, Column) => Column, maxBucket: Int = 0): DataFrame =
+    buckets(sigDf, k, rowsPerBand, bandHash, maxBucket)
+      .select(element_at(col("ids"), 1).as("d1"),
+        explode(slice(col("ids"), lit(2), size(col("ids")))).as("d2"))
+      .distinct()
 }

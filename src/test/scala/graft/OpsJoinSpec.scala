@@ -134,6 +134,31 @@ class OpsJoinSpec extends SparkSpecBase {
       6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 10L))
   }
 
+  test("LSH star edges span exactly the same components as all-pairs edges") {
+    import spark.implicits._
+    import graft.dedup.MinHashLsh
+    // 7 near-dup families sharing text → same signatures → same buckets
+    val docs = (1 to 60).map { i =>
+      val fam = i % 7
+      (i.toLong, s"familie $fam gemeinsamer text korpus " + ("wort " * (fam + 3)))
+    }.toDF("doc_id", "text")
+    val sig = MinHashLsh.xxhashSignature(docs, "doc_id", "text", 8)
+    def components(edges: org.apache.spark.sql.DataFrame) =
+      ConnectedComponents.run(docs.select(col("doc_id")), "doc_id",
+          edges.select(col("d1"), col("d2")), "d1", "d2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = MinHashLsh.bandPairs(sig, 8, 2,
+      (a, b) => xxhash64(a, b), maxBucket = 0)
+    val stars = MinHashLsh.bandStarEdges(sig, 8, 2, (a, b) => xxhash64(a, b))
+    val byPairs = components(pairs)
+    val byStars = components(stars)
+    assert(byPairs == byStars)
+    assert(byPairs.values.toSet.size < 60, "families never merged — degenerate corpus")
+    // the point of the star form: linear, never larger than all-pairs
+    assert(stars.count() <= pairs.count())
+    spark.catalog.clearCache()
+  }
+
   test("rangeJoin: containment exact on half-open boundaries, multi-bin intervals") {
     import spark.implicits._
     val points = Seq((1L, 0.0), (2L, 9.99), (3L, 10.0), (4L, 25.0), (5L, 29.99),

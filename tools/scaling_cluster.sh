@@ -52,6 +52,9 @@ if [ "$MODE" = "all" ]; then
   run parse /tmp/graft_bench/xml2m   parse "$PGC"
   run dedup /tmp/graft_bench/spans2m dedup "$PGC"
   run pdf   /tmp/graft_bench/pdf2m   pdf   "$PGC"
+  # composite pipeline (LSH star edges + iterative components): long
+  # per run, so best-of-2 instead of 4
+  SPARK_GRAFT_BENCH_RUNS=2 run cluster /tmp/graft_bench/spans2m cluster "$PGC"
 fi
 echo "efficiency per family = (docs_per_sec_n4x4 / docs_per_sec_n1x4) / 4  (target >= 0.8)"
 # Skew-mitigation measurement (plain vs salted join under a 50%-hot key):
