@@ -152,8 +152,11 @@ object ClusterBench {
     val cores = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.shuffle.partitions", math.max(cores, 2).toString)
     // SPARK_GRAFT_BENCH_RUNS overrides best-of-4 for long-running
-    // composite jobs (e.g. cluster = dedup + iterative components)
-    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(4)
+    // composite jobs (e.g. cluster = dedup + iterative components);
+    // garbage or non-positive values fall back rather than crashing
+    // AFTER the expensive warmup already ran
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(4)
     val sec = (1 to nRuns).map(_ => Bench.time(runJob())).min
     println(f"""{"metric":"cluster-bench","label":"$label","job":"$job","executors":$execs,"cores":$cores,"n_docs":$n,"sec":$sec%.3f,"docs_per_sec":${n / sec}%.1f}""")
     spark.stop()

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Distributed connected components over an undirected edge list —
   * the step that turns near-dup candidate PAIRS (minhash-LSH banding,
@@ -9,48 +10,60 @@ import org.apache.spark.sql.functions._
   * survivor per component, which is what a training-data pipeline
   * actually keeps.
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts
-  * labeled with itself; each round every vertex takes the min of its
-  * own label and its neighbors' labels (one shuffle join + one
-  * map-side-combined aggregate per round over two narrow columns);
-  * stop at fixpoint. Rounds needed = the largest component's
-  * DIAMETER.
+  * Algorithm: min-label propagation WITH POINTER JUMPING (the
+  * hash-to-min family — Rastogi et al., "Finding Connected Components
+  * in Map-Reduce in Logarithmic Rounds"). Every vertex starts labeled
+  * with itself; each round a vertex takes the min over its own label,
+  * its neighbors' labels (1-hop spread), and its LABEL'S label (the
+  * jump — reach doubles, so convergence is O(log eccentricity), not
+  * O(eccentricity)). Per round: two shuffle joins + one
+  * map-side-combined aggregate over two narrow columns; stop at
+  * fixpoint.
   *
-  * Scale rationale: near-dup graphs are forests of tiny, dense
-  * clusters (diameter 2–4), so plain propagation converges in a
-  * handful of rounds and beats the large-star/small-star variant
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-  * which pays two extra shuffles per round to guarantee O(log n)
-  * rounds on ADVERSARIAL graphs — a long-chain topology no LSH output
-  * produces. `maxIter` bounds the pathological case anyway; each
-  * round's state is exactly |V| rows of (node, label), never edges ×
-  * labels materialized.
+  * The jump is not optional at scale: star-edge candidate graphs
+  * ([[graft.dedup.MinHashLsh.bandStarEdges]]) replace intra-bucket
+  * cliques with hub stars, and overlapping buckets CHAIN those stars —
+  * the 2M-doc bench corpus builds components whose min-vertex
+  * eccentricity exceeds 20, where plain 1-hop propagation (this
+  * operator's first version) blew through its round budget. If the
+  * graph still does not converge within `maxIter`, run() THROWS
+  * rather than silently returning split components (a dedup pipeline
+  * acting on split clusters would keep duplicates).
+  *
+  * Storage discipline: every round is truncated with an eager
+  * `localCheckpoint` (persist()-based loops are fragile — downstream
+  * re-references can miss cache substitution and replay the full edge
+  * lineage) and the PREVIOUS round's block is freed as soon as the
+  * next one is materialized ([[Bridge.freeLocalCheckpoint]] — plain
+  * `unpersist()` cannot release checkpoint storage). The returned
+  * labels keep only the final round's block.
   */
 object ConnectedComponents {
 
   /** @param vertices one row per vertex (isolated vertices become
-    *                 singleton components)
+    *                 singleton components). Defines the vertex set:
+    *                 edges with an endpoint OUTSIDE it are ignored
+    *                 (components are computed among `vertices` only),
+    *                 at the one-time cost of two endpoint semi-joins.
     * @param vCol     vertex id column in `vertices`
     * @param edges    undirected edge list (any orientation, dups ok)
     * @param srcCol   edge endpoint column
     * @param dstCol   edge endpoint column
-    * @param maxIter  round bound for adversarial topologies
+    * @param maxIter  round bound; exceeding it throws (see above)
     * @return (node, lbl) — lbl is the component's min vertex id
     */
   def run(vertices: DataFrame, vCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
-    // lineage is truncated with eager localCheckpoint at every step —
-    // the standard tool for iterative DataFrame algorithms: each
-    // round's plan references the STORED blocks of the previous round
-    // directly, so re-references never replay the (expensive) edge
-    // derivation and the plan does not grow with the iteration count
-    // (persist() alone is fragile here: downstream plans may fail
-    // cache substitution and silently recompute the whole lineage).
+    val vset = vertices.select(col(vCol).as("node"))
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      // edges are only meaningful between vertices of the given set
+      .join(vset.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(vset.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
       .distinct()
-      .localCheckpoint()
+      .persist() // cache-managed: the final result's lineage is
+                 // checkpoint-backed, so this is safe to free below
     // only vertices that touch an edge can ever change label — iterate
     // over THAT subgraph and union everyone else back as singletons at
     // the end. In a near-dup corpus the candidate-pair endpoints are a
@@ -59,6 +72,7 @@ object ConnectedComponents {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    var prevCheckpoint = labels
 
     var iter = 0
     var converged = false
@@ -66,19 +80,35 @@ object ConnectedComponents {
       val viaNeighbors = sym
         .join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("lbl"), lit(0).as("own"))
+      // pointer jump: my label's own label — doubles the reach per
+      // round (log-round convergence on chained-star graphs)
+      val lblMap = labels.select(col("node").as("_jn"), col("lbl").as("_jl"))
+      val viaJump = labels
+        .join(lblMap, labels("lbl") === lblMap("_jn"))
+        .select(col("node"), col("_jl").as("lbl"), lit(0).as("own"))
       // the vertex's previous label rides along as `own=1`, so the SAME
       // aggregate yields both the new label and the fixpoint signal —
       // no extra probe join/shuffle per round
       val next = labels.select(col("node"), col("lbl"), lit(1).as("own"))
         .unionByName(viaNeighbors)
+        .unionByName(viaJump)
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"),
           min(when(col("own") === 1, col("lbl"))).as("prev"))
         .localCheckpoint()
       converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      Bridge.freeLocalCheckpoint(prevCheckpoint)
+      prevCheckpoint = next
       labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
+    sym.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds — " +
+          "the graph has a component whose min-vertex eccentricity exceeds " +
+          "the bound; raise maxIter (silently returning split clusters " +
+          "would make a dedup pipeline keep duplicates)")
     // vertices outside every edge are their own components
     val untouched = vertices.select(col(vCol).as("node"))
       .join(labels.select(col("node")), Seq("node"), "left_anti")

@@ -1716,9 +1716,11 @@ object Queries {
   // the same md5-minhash edges.
   private val q62 = QueryDef("q62_neardup_clusters",
     (s, d) => {
-      val edges = graft.dedup.MinHashLsh.bandPairs(signatureDF(s, d), MinhashK, 2,
-          (a, b) => md5(concat_ws("_", a, b)), maxBucket = 0, ordered = false)
-        .select(col("d1"), col("d2"))
+      // star edges, not all-pairs: connectivity-identical per bucket
+      // (OpsJoinSpec proves equal component maps) at O(|bucket|) rows —
+      // the form that survives massive duplicate families
+      val edges = graft.dedup.MinHashLsh.bandStarEdges(signatureDF(s, d), MinhashK, 2,
+        (a, b) => md5(concat_ws("_", a, b)))
       val vertices = t(s, d, "documents").select(col("doc_id"))
       val cc = graft.ops.ConnectedComponents
         .run(vertices, "doc_id", edges, "d1", "d2")

@@ -14,6 +14,19 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Release the storage behind an eagerly `localCheckpoint()`ed
+    * Dataset. `Dataset.unpersist()` only talks to the CacheManager,
+    * which does not track checkpoint blocks — without this, iterative
+    * algorithms leak one MEMORY_AND_DISK block per round until the
+    * driver GC + ContextCleaner get around to it. No-op for plans
+    * that are not checkpoint-backed. */
+  def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** A sibling SparkSession on the same SparkContext with the given
     * extensions applied — Spark only applies extensions at session
     * construction, and `getOrCreate` returns the existing session, so

@@ -132,6 +132,23 @@ class OpsJoinSpec extends SparkSpecBase {
     assert(got == Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 10L))
+
+    // edges touching vertices OUTSIDE the given set are ignored — no
+    // phantom nodes in the output, no phantom canonical labels
+    val phantomEdges = edges.unionByName(Seq((2L, 99L), (98L, 97L)).toDF("a", "b"))
+    val got2 = ConnectedComponents.run(vertices, "v", phantomEdges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+
+    // a component needing more rounds than maxIter THROWS instead of
+    // silently returning split clusters
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val chainV = (1L to 10L).toDF("v")
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(chainV, "v", chain, "a", "b", maxIter = 3).collect()
+    }
+    assert(ConnectedComponents.run(chainV, "v", chain, "a", "b", maxIter = 12)
+      .collect().forall(_.getLong(1) == 1L))
   }
 
   test("LSH star edges span exactly the same components as all-pairs edges") {
