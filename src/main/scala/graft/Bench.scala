@@ -60,11 +60,18 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
 
     val results = selected.map { q =>
-      def runOnce(): Unit =
-        if (q.name == "q57_pdf_extract" && pdfSynthSec >= 0)
-          force(Queries.pdfParse(spark, spark.read.parquet(pdfTmp)))
-        else force(q.fn(spark, sfDir))
-      val sec = try time(runOnce()) catch { case _: Throwable => -1.0 }
+      val sec = try {
+        val df =
+          if (q.name == "q57_pdf_extract" && pdfSynthSec >= 0)
+            Queries.pdfParse(spark, spark.read.parquet(pdfTmp))
+          else q.fn(spark, sfDir)
+        val s = time(force(df))
+        // iterative queries (q62 components) leave localCheckpoint
+        // blocks that clearCache() cannot see — free them explicitly
+        // so repeated runs don't accumulate MEMORY_AND_DISK blocks
+        org.apache.spark.sql.graftbridge.Bridge.freeLocalCheckpoint(df)
+        s
+      } catch { case _: Throwable => -1.0 }
       // drop any blocks a query persisted (minhash/simhash barriers) so
       // cached signatures neither leak executor memory across the run
       // nor cross-subsidize a later query's timing
@@ -85,13 +92,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + extractSec
+    val subset = only.isDefined
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec%.1f,"extract_docs":$nDocs,"extract_sec":$extractSec%.3f,"pdf_synth_sec":$pdfSynthSec%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"subset":$subset,"extract_docs_per_sec":$docsPerSec%.1f,"extract_docs":$nDocs,"extract_sec":$extractSec%.3f,"pdf_synth_sec":$pdfSynthSec%.3f}"""
     println(json)
     // sbt prefixes stdout with "[info] ", which broke the driver's JSON
-    // parse in round 1 — always leave a machine-readable copy on disk
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    // parse in round 1 — always leave a machine-readable copy on disk.
+    // A BENCH_ONLY subset run must NOT silently overwrite the canonical
+    // full-run artifact: it only writes when an out-file is explicit.
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (subset) None else Some("BENCH_LAST.json"))
+    outFile.foreach(f =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f), json + "\n"))
     spark.stop()
     try { // drop the pre-materialized pdf corpus
       val root = java.nio.file.Paths.get(pdfTmp)

@@ -140,7 +140,14 @@ object ClusterBench {
       job match {
         case "extract" => Bench.force(graft.stages.Extraction.pipeline(docs).toDF())
         case "dedup"   => Bench.force(dedupJob(docs)); spark.catalog.clearCache()
-        case "cluster" => Bench.force(clusterJob(docs)); spark.catalog.clearCache()
+        case "cluster" =>
+          val labels = clusterJob(docs)
+          Bench.force(labels)
+          // the final round's localCheckpoint backs the labels; free it
+          // between timed runs or best-of-N accumulates one
+          // MEMORY_AND_DISK block per run until the ContextCleaner wins
+          org.apache.spark.sql.graftbridge.Bridge.freeLocalCheckpoint(labels)
+          spark.catalog.clearCache()
         case "parse"   => Bench.force(parseJob(spark, spansPath))
         case "pdf"     => Bench.force(pdfJob(spark, spansPath))
         case other     => throw new IllegalArgumentException(s"unknown job '$other'")

@@ -36,7 +36,11 @@ import org.apache.spark.sql.graftbridge.Bridge
   * lineage) and the PREVIOUS round's block is freed as soon as the
   * next one is materialized ([[Bridge.freeLocalCheckpoint]] — plain
   * `unpersist()` cannot release checkpoint storage). The returned
-  * labels keep only the final round's block.
+  * labels keep only the final round's block — after forcing (or
+  * persisting) the result, callers that loop (benchmarks, repeated
+  * dedup passes) should release that block too with
+  * `Bridge.freeLocalCheckpoint(result)`; it walks the derived plan
+  * and unpersists the backing RDD.
   */
 object ConnectedComponents {
 

@@ -295,10 +295,16 @@ final class OcrXmlParser {
 object OcrXmlParser {
 
   /** get_lines (lib/ocr_model.py:203-214): dialect-dispatched line
-    * extraction with min-length filtering and validity handling. */
-  def getLines(doc: ParsedDoc, minLen: Int = 2, reorder: Boolean = false): Vector[Line] =
+    * extraction with min-length filtering and validity handling.
+    * `vertical` selects the y-center word ordering for vertical-text
+    * PAGE documents (to_center_coords, lib/ocr_model.py:190-200 —
+    * plumbed but never enabled in the reference, where
+    * TextLine.vertical is initialised False with no config path;
+    * here it is a real flag). */
+  def getLines(doc: ParsedDoc, minLen: Int = 2, reorder: Boolean = false,
+      vertical: Boolean = false): Vector[Line] =
     if (doc.dialect.startsWith("alto")) altoLines(doc, minLen)
-    else pageLines(doc, minLen, reorder)
+    else pageLines(doc, minLen, reorder, vertical)
 
   /** ALTO line model (lib/ocr_model.py:217-223): keep TextLines whose
     * space-joined `String@CONTENT` length ≥ minLen; tokens kept as-is
@@ -322,8 +328,8 @@ object OcrXmlParser {
     *    lib/ocr_model.py:134-140);
     *  - directional marks stripped from tokens (lib/ocr_model.py:153-157).
     */
-  def pageLines(doc: ParsedDoc, minLen: Int, reorder: Boolean): Vector[Line] = {
-    val vertical = false
+  def pageLines(doc: ParsedDoc, minLen: Int, reorder: Boolean,
+      vertical: Boolean = false): Vector[Line] = {
     doc.lines.flatMap { l =>
       if (!l.hasLineUnicode)
         throw ParseError(s"no TextEquiv/Unicode for line '${l.id}'")
@@ -393,16 +399,19 @@ object OcrXmlParser {
     * and keeps document order — strict validity (F4/F5) is enforced in
     * the line-model stage ([[getLines]]), which raises exactly like
     * the reference. */
-  def toSpans(docId: String, doc: ParsedDoc): Vector[Span] = {
+  def toSpans(docId: String, doc: ParsedDoc,
+      vertical: Boolean = false): Vector[Span] = {
     val isPage = doc.dialect.startsWith("page")
+    def center(w: RawWord): Option[Double] =
+      if (vertical) w.centerY else w.centerX
     val out = Vector.newBuilder[Span]
     var off = 0
     def emitLine(l: RawLine): Unit = {
       val ref = Span.LineRefPrefix + l.blockId + "/" + l.id
       if (l.words.nonEmpty) {
         val ws =
-          if (isPage && l.words.forall(_.centerX.isDefined))
-            l.words.sortBy(_.centerX.get.toInt) // stable, int-truncated key
+          if (isPage && l.words.forall(center(_).isDefined))
+            l.words.sortBy(center(_).get.toInt) // stable, int-truncated key
           else l.words
         ws.foreach { w =>
           val raw = w.text.getOrElse("")

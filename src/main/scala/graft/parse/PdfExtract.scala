@@ -168,6 +168,9 @@ object PdfExtract {
 
   private def isPage(dict: String): Boolean = PagePat.matcher(dict).find()
 
+  private val CatalogPat =
+    java.util.regex.Pattern.compile("/Type\\s*/Catalog(?![a-zA-Z])")
+
   /** First `N G R` indirect reference after `key` in a dictionary. */
   private def refAfter(dict: String, key: String): Option[Int] = {
     val i = dict.indexOf(key)
@@ -202,9 +205,16 @@ object PdfExtract {
     * object-number order as a fallback. */
   private def pageOrder(objs: Map[Int, (String, Array[Byte])]): Seq[Int] = {
     val pages = objs.collect { case (n, (d, _)) if isPage(d) => n }.toSet
-    val root = objs.collectFirst {
-      case (_, (d, _)) if d.contains("/Catalog") => refAfter(d, "/Pages")
-    }.flatten
+    // match the catalog by its actual /Type (a dict merely CONTAINING
+    // the substring "/Catalog" — e.g. a name value — must not win) and,
+    // when incremental updates left several catalog objects, prefer the
+    // highest object number carrying a /Pages ref: the update winner,
+    // the same precedence scanObjects applies to same-numbered objects
+    val root = objs.toSeq
+      .collect { case (n, (d, _)) if CatalogPat.matcher(d).find() =>
+        (n, refAfter(d, "/Pages")) }
+      .sortBy(-_._1)
+      .collectFirst { case (_, Some(r)) => r }
     val ordered = mutable.ArrayBuffer.empty[Int]
     val seen = mutable.Set.empty[Int] // cycle guard: tag soup exists in PDFs too
     def walk(n: Int): Unit = if (seen.add(n)) objs.get(n).foreach { case (d, _) =>

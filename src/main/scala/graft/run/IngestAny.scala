@@ -52,8 +52,11 @@ object IngestAny {
     else FmtUnknown
   }
 
-  /** Distributed dispatch-parse of (doc_id, content) rows. */
-  def parseDocs(raw: Dataset[(String, Array[Byte])]): Dataset[Doc] = {
+  /** Distributed dispatch-parse of (doc_id, content) rows. `vertical`
+    * = y-center word ordering for vertical-text PAGE documents
+    * (see [[graft.run.IngestXml.parseDocs]]). */
+  def parseDocs(raw: Dataset[(String, Array[Byte])],
+      vertical: Boolean = false): Dataset[Doc] = {
     val sc = raw.sparkSession.sparkContext
     val docsParsed = sc.longAccumulator("graft.docs_parsed")
     val spansEmitted = sc.longAccumulator("graft.spans_emitted")
@@ -71,7 +74,8 @@ object IngestAny {
           val spans = sniff(bytes) match {
             case FmtPdf => PdfExtract.extract(bytes, docId)
             case FmtHtml => HtmlExtract.extract(text, docId).spans
-            case FmtXml => OcrXmlParser.toSpans(docId, xmlParser.parse(text))
+            case FmtXml =>
+              OcrXmlParser.toSpans(docId, xmlParser.parse(text), vertical)
             case FmtUnknown =>
               throw new IllegalArgumentException("unrecognized format")
           }
@@ -130,7 +134,8 @@ object IngestAny {
 
     val raw = readFiles(spark,
       inDirs.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
-    val docs = parseDocs(raw)
+    val docs = parseDocs(raw,
+      vertical = sys.env.get("SPARK_GRAFT_VERTICAL").contains("1"))
     docs.write.mode("overwrite").parquet(outPath)
 
     // summary from the WRITTEN parquet — a second pass over the raw

@@ -28,8 +28,12 @@ object IngestXml {
   /** Distributed parse of (doc_id, xml) rows into Doc rows. Row-level
     * failures become failure rows and tick the accumulators (the
     * north_rule lineage metrics: docs parsed, spans emitted, parse
-    * failures). */
-  def parseDocs(raw: Dataset[(String, String)]): Dataset[Doc] = {
+    * failures). `vertical` selects y-center word ordering for
+    * vertical-text PAGE corpora (lib/ocr_model.py:190-200; the
+    * reference plumbs but never enables it — here it is a per-job
+    * flag, `SPARK_GRAFT_VERTICAL=1` on the CLI mains). */
+  def parseDocs(raw: Dataset[(String, String)],
+      vertical: Boolean = false): Dataset[Doc] = {
     val sc = raw.sparkSession.sparkContext
     val docsParsed = sc.longAccumulator("graft.docs_parsed")
     val spansEmitted = sc.longAccumulator("graft.spans_emitted")
@@ -40,7 +44,7 @@ object IngestXml {
       it.map { case (docId, xml) =>
         try {
           val parsed = parser.parse(xml)
-          val spans = OcrXmlParser.toSpans(docId, parsed)
+          val spans = OcrXmlParser.toSpans(docId, parsed, vertical)
           docsParsed.add(1)
           spansEmitted.add(spans.length)
           Doc(docId, spans)
@@ -113,7 +117,8 @@ object IngestXml {
     // S3: comma-separated multi-directory scan
     val raw = readRaw(spark, inDirs.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
 
-    val docs = parseDocs(raw)
+    val docs = parseDocs(raw,
+      vertical = sys.env.get("SPARK_GRAFT_VERTICAL").contains("1"))
     docs.write.mode("overwrite").parquet(outPath)
     shapesPath.foreach { sp =>
       parseShapes(raw).toDF("doc_id", "line_ref", "corners")

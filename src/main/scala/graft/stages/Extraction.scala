@@ -66,6 +66,11 @@ private[stages] final case class CleanedWithRaw(
   */
 object Extraction {
 
+  /** Default row cap for the driver-streamed [[writeWtr]] compat sink
+    * (~10M lines ≈ a few hundred MB of text — the most one driver
+    * writer should ever be asked to stream). */
+  val WtrMaxRows: Long = 10L * 1000 * 1000
+
   /** Column stage chain C1 → (C2) → F6 → S8: replace, regex-replace,
     * blank-span drop, offset re-sort — all Catalyst HOFs, codegen'd,
     * narrow. */
@@ -284,10 +289,20 @@ object Extraction {
     * order is undefined in a distributed engine, so ties break on
     * file_name. */
   def writeWtr(processed: Dataset[ProcessedDoc], path: String,
-      precomputed: Option[EstimationReport] = None): EstimationReport = {
+      precomputed: Option[EstimationReport] = None,
+      maxRows: Long = WtrMaxRows): EstimationReport = {
     // callers that just ran writeReport pass its result — recomputing
     // here would run the corpus-wide aggregate a second time
     val rep = precomputed.getOrElse(report(processed))
+    // this sink streams every row through ONE driver writer — fine for
+    // the per-partition/compat use it exists for, corpus-suicide at
+    // 10^12 docs. Fail fast (before opening the file) instead of
+    // grinding: the distributed report sink is writeReport.
+    if (rep.n_total > maxRows)
+      throw new IllegalArgumentException(
+        s"writeWtr is a driver-streamed per-partition sink; refusing " +
+          s"${rep.n_total} rows (cap $maxRows). Use writeReport for " +
+          "corpus-scale output, or raise maxRows explicitly.")
     val spark = processed.sparkSession
     import spark.implicits._
     val rows = processed

@@ -18,10 +18,12 @@ object Bridge {
     * Dataset. `Dataset.unpersist()` only talks to the CacheManager,
     * which does not track checkpoint blocks — without this, iterative
     * algorithms leak one MEMORY_AND_DISK block per round until the
-    * driver GC + ContextCleaner get around to it. No-op for plans
-    * that are not checkpoint-backed. */
+    * driver GC + ContextCleaner get around to it. Walks the whole
+    * analyzed plan, so it also frees checkpoints buried under derived
+    * projections/unions (e.g. the labels a ConnectedComponents caller
+    * holds). No-op for plans with no checkpoint-backed node. */
   def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.analyzed match {
+    df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ =>

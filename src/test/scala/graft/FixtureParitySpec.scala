@@ -155,4 +155,40 @@ class FixtureParitySpec extends AnyFunSuite {
       assert(textSpans.exists(s => Span.lineKey(s.media_ref).endsWith("/line_2")))
     }
   }
+
+  // lib/ocr_model.py:143-145 + :190-200 — vertical text sorts words by
+  // the CENTROID Y (to_center_coords returns center[1] when vertical).
+  // The reference plumbs the flag but never sets it (TextLine.vertical
+  // = False at :44, no config path); here it is a real per-job flag,
+  // so pin both orderings on a synthetic vertical-text PAGE fixture:
+  // x-centers say (rechts, mitte, links), y-centers say (oben, mitte,
+  // unten).
+  test("vertical PAGE fixture: words ordered by y-center when vertical") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15">
+        |<Page><TextRegion id="r1">
+        |<TextLine id="l1"><Coords points="0,0 100,300"/>
+        |<TextEquiv><Unicode>oben mitte unten</Unicode></TextEquiv>
+        |<Word id="w_unten"><Coords points="10,200 30,220"/>
+        |  <TextEquiv><Unicode>unten</Unicode></TextEquiv></Word>
+        |<Word id="w_oben"><Coords points="80,10 100,30"/>
+        |  <TextEquiv><Unicode>oben</Unicode></TextEquiv></Word>
+        |<Word id="w_mitte"><Coords points="40,100 60,120"/>
+        |  <TextEquiv><Unicode>mitte</Unicode></TextEquiv></Word>
+        |</TextLine></TextRegion></Page></PcGts>""".stripMargin
+    val parsed = parser.parse(xml)
+    // horizontal (default): truncated x-centers 20 < 50 < 90
+    assert(OcrXmlParser.getLines(parsed).map(_.words) ==
+      Vector(Vector("unten", "mitte", "oben")))
+    // vertical: truncated y-centers 20 < 110 < 210
+    assert(OcrXmlParser.getLines(parsed, vertical = true).map(_.words) ==
+      Vector(Vector("oben", "mitte", "unten")))
+    // the span flattening agrees with the line model on both paths
+    def spanTexts(vertical: Boolean) =
+      OcrXmlParser.toSpans("vtx", parsed, vertical)
+        .filter(_.kind == Span.KindText).map(_.text)
+    assert(spanTexts(vertical = false) == Vector("unten", "mitte", "oben"))
+    assert(spanTexts(vertical = true) == Vector("oben", "mitte", "unten"))
+  }
 }

@@ -112,6 +112,29 @@ class PdfExtractSpec extends SparkSpecBase {
     assert(texts(PdfExtract.extract(pdf, "d")) == Seq("erste", "zweite"))
   }
 
+  test("incremental-update catalogs: highest-objnum /Type/Catalog wins; substring decoys don't") {
+    // an appended update adds a SECOND catalog (object 8) whose /Pages
+    // tree reverses the reading order — the update winner must drive
+    // the walk. Object 9 merely CONTAINS the string "/Catalog" as a
+    // name value and must never be selected (it points at a bogus
+    // single-page tree).
+    val c1 = "BT 72 700 Td (eins) Tj ET"
+    val c2 = "BT 72 700 Td (zwei) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type/Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type/Pages /Kids [ 4 0 R 5 0 R ] /Count 2 >> endobj\n" +
+      "4 0 obj << /Type/Page /Parent 2 0 R /Contents 6 0 R >> endobj\n" +
+      "5 0 obj << /Type/Page /Parent 2 0 R /Contents 7 0 R >> endobj\n" +
+      s"6 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream endobj\n" +
+      s"7 0 obj << /Length ${c2.length} >>\nstream\n$c2\nendstream endobj\n" +
+      "8 0 obj << /Type/Catalog /Pages 10 0 R >> endobj\n" +
+      "10 0 obj << /Type/Pages /Kids [ 5 0 R 4 0 R ] /Count 2 >> endobj\n" +
+      "9 0 obj << /SomeName /CatalogLike /Pages 11 0 R >> endobj\n" +
+      "11 0 obj << /Type/Pages /Kids [ 4 0 R ] /Count 1 >> endobj\n" +
+      "%%EOF\n").getBytes(ISO_8859_1)
+    assert(texts(PdfExtract.extract(pdf, "d")) == Seq("zwei", "eins"))
+  }
+
   test("pages outside a broken /Kids tree are still extracted (objnum fallback)") {
     val c1 = "BT 72 700 Td (verwaist) Tj ET"
     val pdf = ("%PDF-1.4\n" +

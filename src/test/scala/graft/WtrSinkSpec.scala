@@ -41,4 +41,22 @@ class WtrSinkSpec extends SparkSpecBase {
     val actual = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
     assert(actual == expected)
   }
+
+  test("wtr sink refuses corpus-scale input before opening the file") {
+    import spark.implicits._
+    val docs = Seq(
+      doc("f1", 10.0, 1, 0, 1, 0, 0, 1),
+      doc("f2", 20.0, 1, 0, 1, 0, 0, 1),
+      doc("f3", 30.0, 1, 0, 1, 0, 0, 1)).toDS()
+    val tmp = Files.createTempDirectory("graft-wtr-cap").toString
+    val path = s"$tmp/too_big.wtr"
+    val err = intercept[IllegalArgumentException](
+      Extraction.writeWtr(docs, path, maxRows = 2))
+    assert(err.getMessage.contains("writeReport"))
+    // fail-fast: nothing was written (no partial/corrupt artifact)
+    assert(!Files.exists(Paths.get(path)))
+    // an explicit raise of the cap still works
+    Extraction.writeWtr(docs, path, maxRows = 3)
+    assert(Files.exists(Paths.get(path)))
+  }
 }
