@@ -401,6 +401,74 @@ object Queries {
                 len(list_distinct(list_concat(a.tk, b.tk))) >= 0.2995
             ORDER BY d1, d2"""))
 
+  /** SQL generators for 64-bit wrapping arithmetic in DuckDB — the
+    * machinery that lets the oracle recompute the engine's ACTUAL
+    * hashes (splitmix64 for q35's media synthesis, the Karp–Rabin
+    * polynomial for q36's winnow) instead of settling for rows-only.
+    * All values live in HUGEINT as unsigned [0, 2^64); multiplication
+    * is split 32/32 so no intermediate exceeds 2^96 (a full 64×64
+    * product can overflow signed-128 HUGEINT); signed comparisons cast
+    * back via an explicit 2^63 pivot. Prototyped cell-by-cell against
+    * the JVM implementations (graft.gen.CorpusGen.mix64,
+    * graft.text.Winnow.rollingHashes) before wiring. */
+  private object WrapSql {
+    val M = "18446744073709551616" // 2^64
+    private val H32 = "4294967296" // 2^32
+    private val MixAdd = "11400714819323198485" // 0x9e3779b97f4a7c15
+    private val MixC1 = "13787848793156543929" // 0xbf58476d1ce4e5b9
+    private val MixC1Lo = "484763065" // MixC1 % 2^32
+    private val MixC2 = "10723151780598845931" // 0x94d049bb133111eb
+    private val MixC2Lo = "321982955" // MixC2 % 2^32
+
+    /** (a * c) mod 2^64 with a < 2^64 and a CONSTANT multiplier. */
+    private def mulmod(a: String, c: String, cLo: String): String =
+      s"((($a) % $H32) * $c + (((($a) >> 32) * $cLo) % $H32) * $H32) % $M"
+
+    private def xsh(z: String, s: Int): String = s"xor(($z), ($z) >> $s)"
+
+    /** splitmix64 finalizer (graft.gen.CorpusGen.mix64) over an
+      * unsigned-HUGEINT operand expression. Inlines its input ~32×,
+      * so keep `z0` a short expression (a column ref or lambda var). */
+    def mix64(z0: String): String = {
+      val z1 = s"(($z0) + $MixAdd) % $M"
+      val z2 = mulmod(xsh(z1, 30), MixC1, MixC1Lo)
+      val z3 = mulmod(xsh(z2, 27), MixC2, MixC2Lo)
+      xsh(z3, 31)
+    }
+
+    /** Unsigned [0,2^64) HUGEINT → the Scala `Long` it represents. */
+    def signed(x: String): String =
+      s"""CAST(CASE WHEN ($x) >= 9223372036854775808
+            THEN ($x) - $M ELSE ($x) END AS BIGINT)"""
+
+    /** graft.multimodal.Media.hashStr over a `ref` column: fold
+      * mix64(h ^ char) over the chars, seeded 0x9e3779b97f4a7c15. */
+    def hashStrOfRef: String =
+      s"""list_reduce(list_prepend(CAST($MixAdd AS HUGEINT),
+            list_transform(range(1, len(ref) + 1),
+              i -> CAST(ord(substring(ref, CAST(i AS INT), 1)) AS HUGEINT))),
+            (a, c) -> ${mix64("xor(a, c)")})"""
+
+    /** A stub-decoder payload byte as the sign-EXTENDED unsigned-64
+      * value `(byte:Byte).toLong` wraps to (StubDecoder xors the Byte
+      * after Scala's widening sign extension). */
+    def sextByte(mexpr: String): String = {
+      val b = s"(($mexpr) % 256)"
+      s"CASE WHEN $b >= 128 THEN $b + 18446744073709551360 ELSE $b END"
+    }
+
+    /** Signed Karp–Rabin hash (graft.text.Winnow, base 1000003) of the
+      * k-gram at 1-based position `i` of `text`: the rolling recurrence
+      * is algebraically the plain polynomial mod 2^64, so the oracle
+      * evaluates THAT (max intermediate ≈ 2^88, inside HUGEINT). */
+    def krGram(i: String, k: Int): String = {
+      val c0 = s"CAST(ord(substring(text, CAST($i AS INT), 1)) AS HUGEINT)"
+      val poly = (1 until k).foldLeft(c0)((acc, o) =>
+        s"(($acc) * 1000003 + ord(substring(text, CAST($i + $o AS INT), 1)))")
+      signed(s"(($poly) % $M)")
+    }
+  }
+
   /** MinHash machinery shared by q23/q24 (md5-based hashes so the
     * DuckDB oracle computes identical signatures). Shingles are word
     * 3-grams of the token sequence. */
@@ -692,7 +760,22 @@ object Queries {
           size(filter(col("spans"), x => x.getField("kind") === "media")).as("n_media"))
         .orderBy(col("doc_id"))
     },
-    None)
+    // freestanding oracle: the template is fixed, so the extractor's
+    // output is predictable from the raw text — nav/footer subtrees
+    // drop, each ' merge '-separated segment is its own <p> block kept
+    // iff ≥3 whitespace tokens (minWords, zero link density), the one
+    // <img> is always a media span
+    Some("""WITH segs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                list_transform(string_split(text, ' merge '),
+                  s -> len(list_filter(string_split_regex(trim(s), '\s+'),
+                             w -> w <> ''))) AS cnts
+              FROM documents)
+            SELECT doc_id,
+              CAST(coalesce(list_sum(list_filter(cnts, c -> c >= 3)), 0)
+                   + 1 AS INT) AS n_spans,
+              CAST(1 AS INT) AS n_media
+            FROM segs ORDER BY doc_id"""))
 
   /** q33 block-size cap (the q22 pattern on the `label` key): a label
     * block larger than this is dropped instead of expanded
@@ -799,7 +882,53 @@ object Queries {
           sum(col("n_frames")).as("total_frames"))
         .orderBy(col("mime"))
     },
-    None)
+    // freestanding oracle: every byte of the synthetic media is a
+    // deterministic splitmix64 function of the ref, and the decoded
+    // dimensions are exactly the synthesized header fields — so DuckDB
+    // recomputes the same hashes ([[WrapSql]]) instead of pinning
+    // values. Image branch: header dims = 64 + floorMod(mix64(h+11),
+    // 1984). Stub branch (video/audio): re-hash the 32 payload bytes
+    // (sign-extended like Scala's Byte→Long) and derive w/frames the
+    // way StubDecoder does.
+    Some {
+      import WrapSql._
+      s"""WITH refs AS (
+            SELECT 'media://doc' || CAST(doc_id AS VARCHAR) || '/0' AS ref
+            FROM documents),
+          hh AS (SELECT ref, $hashStrOfRef AS h FROM refs),
+          kk AS (SELECT ref, h,
+                   ((${signed("h")} % 5) + 5) % 5 AS kind FROM hh),
+          img AS (
+            SELECT CASE kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+                     ELSE 'image/jpeg' END AS mime,
+              64 + ((${signed(mix64(s"(h + 11) % $M"))} % 1984) + 1984) % 1984
+                AS width,
+              1 AS n_frames
+            FROM kk WHERE kind <= 2),
+          stub0 AS (
+            SELECT ref, kind,
+              list_reduce(list_prepend(CAST(11400714819323198485 AS HUGEINT),
+                list_transform(range(0, 32), j ->
+                  CAST(${sextByte(mix64(
+                    s"CASE WHEN kind = 3 THEN (h + j) % $M ELSE (h + ($M - j)) % $M END"))}
+                    AS HUGEINT))),
+                (a, b) -> ${mix64("xor(a, b)")}) AS h2
+            FROM kk WHERE kind >= 3),
+          stub AS (
+            SELECT CASE WHEN kind = 3 THEN 'video/mp4' ELSE 'audio/wav' END
+                AS mime,
+              64 + abs(${signed("h2")}) % 1984 AS width,
+              CASE WHEN kind = 3
+                THEN 1 + CAST(abs(${signed(mix64(s"(h2 + 2) % $M"))}) % 300
+                         AS INT)
+                ELSE 1 END AS n_frames
+            FROM stub0),
+          uni AS (SELECT * FROM img UNION ALL SELECT * FROM stub)
+          SELECT mime, CAST(count(*) AS BIGINT) AS n,
+            round(avg(width), 1) AS avg_w,
+            CAST(sum(n_frames) AS BIGINT) AS total_frames
+          FROM uni GROUP BY mime ORDER BY mime"""
+    })
 
   // winnowing rolling-hash fingerprints (Schleimer et al.): shared-
   // fingerprint near-dup candidates (rows-only: engine-defined hash)
@@ -822,7 +951,40 @@ object Queries {
         .orderBy(desc("shared_fps"), col("d1"), col("d2"))
         .limit(200)
     },
-    None)
+    // freestanding oracle on the ENGINE's hash: the Karp–Rabin
+    // recurrence is algebraically the plain base-1000003 polynomial
+    // mod 2^64, which DuckDB evaluates exactly in HUGEINT
+    // ([[WrapSql.krGram]]); window-min/dedup/pairing mirror q60's
+    // relational winnow shape. The (shared DESC, d1, d2) sort is a
+    // total order, so the LIMIT is deterministic on both engines.
+    Some(s"""WITH base AS (
+               SELECT doc_id, text, length(text) - 5 + 1 AS n
+               FROM documents WHERE length(text) >= 5),
+             g AS (SELECT doc_id, n, text, unnest(range(1, n + 1)) AS i
+                   FROM base),
+             h AS (SELECT doc_id, n, i, ${WrapSql.krGram("i", 5)} AS h
+                   FROM g),
+             w AS (SELECT doc_id, n, i,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+               FROM h),
+             wf AS (SELECT DISTINCT doc_id, fp FROM w
+                    WHERE i <= greatest(n - 4 + 1, 1)),
+             byfp AS (SELECT fp, list_sort(list(doc_id)) AS ids
+                      FROM wf GROUP BY fp),
+             ok AS (SELECT ids FROM byfp
+                    WHERE len(ids) > 1 AND len(ids) <= 64),
+             e1 AS (SELECT ids, unnest(range(1, len(ids) + 1)) AS i
+                    FROM ok),
+             e2 AS (SELECT ids, i, unnest(range(1, len(ids) + 1)) AS j
+                    FROM e1),
+             p AS (SELECT ids[CAST(i AS INT)] AS d1,
+                     ids[CAST(j AS INT)] AS d2
+                   FROM e2 WHERE j > i),
+             cnt AS (SELECT d1, d2, CAST(count(*) AS BIGINT) AS shared_fps
+                     FROM p GROUP BY d1, d2 HAVING count(*) >= 2)
+           SELECT d1, d2, shared_fps FROM cnt
+           ORDER BY shared_fps DESC, d1, d2 LIMIT 200"""))
 
   // BPE-ish pretokenization (GPT-2-style regex) token counting — the
   // second tokenizer flavor next to whitespace counting (q16)
