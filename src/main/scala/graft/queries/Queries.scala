@@ -1921,6 +1921,41 @@ object Queries {
              (cc.doc_id = cc.cluster_id) AS is_canonical
            FROM cc JOIN sz USING (cluster_id) ORDER BY cc.doc_id"""))
 
+  // REAL BPE next to q37's pretokenizer: learn a merge table with the
+  // distributed word-type reduction + driver-side Sennrich loop
+  // (graft.text.Bpe — the IvfIndex collect-bounded pattern), broadcast
+  // the ranks, encode narrowly. Fixed corpus (the paper's classic
+  // low/lower/newest/widest frequencies plus an unseen-word doc), so
+  // the oracle pins the LEARNED segmentation itself as literals —
+  // expectations derived by tools/ref_bpe.py, an independent
+  // implementation of the published algorithm (arXiv:1508.07909),
+  // not a replay of the Scala code.
+  private val q63 = QueryDef("q63_bpe_learn_encode",
+    (s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        ("d1", "low low low low low"),
+        ("d2", "lower lower"),
+        ("d3", "newest newest newest newest newest newest"),
+        ("d4", "widest widest widest"),
+        ("d5", "low lower newest widest unseen")).toDF("doc_id", "text")
+      val merges = graft.text.Bpe.learn(docs, "text", nMerges = 10)
+      val counts = graft.text.Bpe.encodeCount(docs, "doc_id", "text", merges)
+      val toks = graft.text.Bpe.encodeTokens(docs, "doc_id", "text", merges)
+      counts.join(toks, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_bpe"),
+          array_join(col("toks"), " ").as("toks"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT * FROM (VALUES
+              ('d1', 5, 5, 'low</w> low</w> low</w> low</w> low</w>'),
+              ('d2', 2, 8, 'low e r </w> low e r </w>'),
+              ('d3', 6, 6, 'newest</w> newest</w> newest</w> newest</w> newest</w> newest</w>'),
+              ('d4', 3, 9, 'w i dest</w> w i dest</w> w i dest</w>'),
+              ('d5', 5, 16, 'low</w> low e r </w> newest</w> w i dest</w> u n s e e n </w>'))
+            AS t(doc_id, n_words, n_bpe, toks)
+            ORDER BY doc_id"""))
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1928,5 +1963,5 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62)
+    q59, q60, q61, q62, q63)
 }
