@@ -50,6 +50,33 @@ object ClusterBench {
       docs.select(col("doc_id")), "doc_id", edges, "d1", "d2")
   }
 
+  /** Curation job: the q64 shape at bench scale — quality gate →
+    * LSH star edges over the survivors → converged components →
+    * canonical survivor → corpus stats (docs kept, tokens kept; ONE
+    * output row). The quality projection is recomputed per consumer
+    * instead of cached: it is a narrow parquet scan + concat, cheaper
+    * than pinning 2M documents' text in executor storage, and the
+    * job's cost is dominated by the banding/components shuffles. */
+  private def curateJob(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val text = concat_ws(" ", transform(col("spans"), s => s.getField("text")))
+    val quality = docs
+      .select(col("doc_id"), text.as("text"))
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .filter(col("n_tokens") >= 20) // Gopher-style short-doc gate
+    val edges = graft.dedup.MinHashLsh.bandStarEdges(
+      graft.dedup.MinHashLsh.xxhashSignature(
+        quality.select(col("doc_id"), col("text")), "doc_id", "text", 8),
+      8, 2, (a, b) => xxhash64(a, b))
+    val cc = graft.ops.ConnectedComponents.run(
+      quality.select(col("doc_id")), "doc_id", edges, "d1", "d2")
+    cc.filter(col("node") === col("lbl")) // canonical survivors
+      .join(quality.select(col("doc_id").as("node"), col("n_tokens")), Seq("node"))
+      .agg(count(lit(1)).as("docs_kept"),
+        sum(col("n_tokens")).as("tokens_kept"))
+  }
+
   /** Parse job: (doc_id, xml) rows → pooled-StAX parse → span docs
     * (the north_star front end: no per-row parser instantiation). */
   private def parseJob(spark: SparkSession, xmlPath: String)
@@ -147,6 +174,11 @@ object ClusterBench {
           // between timed runs or best-of-N accumulates one
           // MEMORY_AND_DISK block per run until the ContextCleaner wins
           org.apache.spark.sql.graftbridge.Bridge.freeLocalCheckpoint(labels)
+          spark.catalog.clearCache()
+        case "curate" =>
+          val stats = curateJob(docs)
+          Bench.force(stats)
+          org.apache.spark.sql.graftbridge.Bridge.freeLocalCheckpoint(stats)
           spark.catalog.clearCache()
         case "parse"   => Bench.force(parseJob(spark, spansPath))
         case "pdf"     => Bench.force(pdfJob(spark, spansPath))

@@ -1956,6 +1956,95 @@ object Queries {
             AS t(doc_id, n_words, n_bpe, toks)
             ORDER BY doc_id"""))
 
+  // the END-TO-END curation pipeline a training-data run actually
+  // ships, as ONE query: Gopher-style quality gate (token-count
+  // bounds + stopword presence) → minhash-LSH near-dup clustering of
+  // the survivors (star edges + converged connected components) →
+  // canonical-survivor selection → per-doc decision rows from which
+  // the corpus stats (kept docs, kept tokens) aggregate. Exercises
+  // operator COMPOSITION the per-query contract never does; every
+  // stage is replayed by the DuckDB oracle (q45's signal SQL + q62's
+  // recursive-reachability clustering over the filtered subset).
+  private val q64 = QueryDef("q64_curation_pipeline",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val tk = toks(col("text"))
+      val swLit = lit(QualityStopwords.toArray)
+      val quality = docs.select(col("doc_id"), col("text"),
+          size(tk).as("n_tokens"),
+          size(filter(tk, x => array_contains(swLit, x))).as("n_sw"))
+        .withColumn("q_pass",
+          col("n_tokens").between(25, 80) && col("n_sw") >= 1)
+      val passed = quality.filter(col("q_pass"))
+        .select(col("doc_id"), col("text"))
+      val sig = graft.dedup.MinHashLsh.md5Signature(
+        passed, "doc_id", "text", MinhashK)
+      val edges = graft.dedup.MinHashLsh.bandStarEdges(sig, MinhashK, 2,
+        (a, b) => md5(concat_ws("_", a, b)))
+      val cc = graft.ops.ConnectedComponents.run(
+        passed.select(col("doc_id")), "doc_id", edges, "d1", "d2")
+      val sizes = cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      val clustered = cc.join(sizes, "lbl")
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+          col("cluster_size"))
+      quality
+        .select(col("doc_id"), col("n_tokens"),
+          col("q_pass").cast("int").as("q_pass"))
+        .join(clustered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("q_pass"), col("cluster_id"),
+          col("cluster_size"),
+          coalesce((col("doc_id") === col("cluster_id")).cast("int"),
+            lit(0)).as("kept"),
+          when(col("doc_id") === col("cluster_id"), col("n_tokens"))
+            .otherwise(lit(0)).as("kept_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE qual AS (
+               SELECT doc_id, text,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+                   AS n_tokens,
+                 len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   x -> list_contains([${QualityStopwords
+                     .map(w => s"'$w'").mkString(", ")}], x))) AS n_sw
+               FROM documents),
+             q AS (SELECT doc_id, text, n_tokens,
+                     (n_tokens BETWEEN 25 AND 80 AND n_sw >= 1) AS q_pass
+                   FROM qual),
+             passed AS (SELECT doc_id, text FROM q WHERE q_pass),
+             tt AS (
+               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+               FROM passed),
+             ss AS (SELECT doc_id, $shingleSql AS sh FROM tt),
+             sig AS (SELECT doc_id, ${(0 until MinhashK).map(i =>
+               s"${minhashSqlExpr(i)} AS h$i").mkString(", ")} FROM ss),
+             bands AS (${(0 until MinhashK / 2).map(b =>
+               s"""SELECT doc_id, $b AS band,
+                   md5(CONCAT(h${2 * b}, '_', h${2 * b + 1})) AS bh FROM sig""")
+               .mkString(" UNION ALL ")}),
+             pairs AS (
+               SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+             edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                       UNION ALL SELECT d2, d1 FROM pairs),
+             reach(node, lbl) AS (
+               SELECT doc_id, doc_id FROM passed
+               UNION
+               SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+             cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                    FROM reach GROUP BY node),
+             sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                    FROM cc GROUP BY 1)
+           SELECT q.doc_id, CAST(q.q_pass AS INT) AS q_pass,
+             cc.cluster_id, sz.cluster_size,
+             coalesce(CAST(q.doc_id = cc.cluster_id AS INT), 0) AS kept,
+             CASE WHEN q.doc_id = cc.cluster_id THEN q.n_tokens
+               ELSE 0 END AS kept_tokens
+           FROM q
+           LEFT JOIN cc ON q.doc_id = cc.doc_id
+           LEFT JOIN sz ON cc.cluster_id = sz.cluster_id
+           ORDER BY q.doc_id"""))
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1963,5 +2052,5 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62, q63)
+    q59, q60, q61, q62, q63, q64)
 }
