@@ -1114,7 +1114,11 @@ object Queries {
       graft.dedup.MinHashLsh.xxhashSignature(
         t(s, d, "documents"), "doc_id", "text", MinhashK),
       MinhashK, 2, (a, b) => xxhash64(a, b)),
-    None)
+    // the PRODUCTION hash path is oracled too: DuckDB recomputes the
+    // full XXH64 (stripes/merges/tails/avalanche) in HUGEINT mod-2^64
+    // arithmetic — see [[XxHashOracleSql]] — so the engine-defined
+    // signature is no longer trust-me rows-only
+    Some(XxHashOracleSql.q43Sql))
 
   // the SCALE path next to exact q40: approx_percentile keeps a bounded
   // sketch per group instead of buffering every value (exact percentile
