@@ -73,10 +73,17 @@ object ConnectedComponents {
     // the end. In a near-dup corpus the candidate-pair endpoints are a
     // tiny fraction of the documents, so the per-round state shrinks
     // from |V| to |endpoints|.
-    var labels = sym.select(col("src").as("node")).distinct()
+    // every checkpoint is rebuilt WITHOUT origin statistics
+    // (Bridge.dropOriginStats): the round plan self-joins the previous
+    // checkpoint several times, and Catalyst's join size estimate
+    // multiplies child sizes — with propagated stats the estimate
+    // compounds exponentially across rounds until the driver spends
+    // minutes in BigInteger math during planning (measured hang at 2M
+    // docs with the l³ jump below)
+    var prevCheckpoint = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
-    var prevCheckpoint = labels
+    var labels = Bridge.dropOriginStats(prevCheckpoint)
 
     var iter = 0
     var converged = false
@@ -111,10 +118,11 @@ object ConnectedComponents {
         .agg(min(col("lbl")).as("lbl"),
           min(when(col("own") === 1, col("lbl"))).as("prev"))
         .localCheckpoint()
-      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      val nextClean = Bridge.dropOriginStats(next)
+      converged = nextClean.filter(col("lbl") =!= col("prev")).isEmpty
       Bridge.freeLocalCheckpoint(prevCheckpoint)
       prevCheckpoint = next
-      labels = next.select(col("node"), col("lbl"))
+      labels = nextClean.select(col("node"), col("lbl"))
       iter += 1
     }
     sym.unpersist(blocking = false)

@@ -29,6 +29,32 @@ object Bridge {
       case _ =>
     }
 
+  /** Rebuild a checkpoint-backed DataFrame WITHOUT its origin
+    * statistics. `Dataset.localCheckpoint` produces a LogicalRDD that
+    * carries the stats of the plan it truncated — and Catalyst's
+    * size-in-bytes join estimate MULTIPLIES child sizes, so an
+    * iterative algorithm whose round plan self-joins the previous
+    * round's checkpoint k times compounds the estimate to
+    * size^(k^rounds): the BigInt grows exponentially MANY DIGITS per
+    * round and the driver ends up burning whole minutes inside
+    * BigInteger.multiplyToomCook3 during stats estimation (observed:
+    * the 2M-doc clustering bench hung the driver at 100% CPU after
+    * adding a second pointer-jump join). Dropping originStats resets
+    * each round to the default size estimate — plan COST is
+    * unaffected (no broadcast decisions hinge on these inflated
+    * numbers; they exceed every threshold either way). No-op for
+    * non-checkpoint-rooted plans. */
+  def dropOriginStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val clean = org.apache.spark.sql.execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(session, None, None)
+        org.apache.spark.sql.classic.Dataset.ofRows(session, clean)
+      case _ => df
+    }
+
   /** A sibling SparkSession on the same SparkContext with the given
     * extensions applied — Spark only applies extensions at session
     * construction, and `getOrCreate` returns the existing session, so
