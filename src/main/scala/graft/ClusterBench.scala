@@ -143,8 +143,15 @@ object ClusterBench {
     val spark = SparkSession.builder()
       .appName(s"graft-cluster-bench-$label")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
-      .config("spark.sql.files.openCostInBytes", "0")
+      // one scan task per generated file: the corpora are written as
+      // 128 single-row-group files of a few MB, so byte-range splits
+      // below the file size produce EMPTY tasks (a row group belongs
+      // to exactly one split) — at 1MB this was ~2 no-op dispatches
+      // per real one, a serial driver cost that lands on the larger
+      // cluster size disproportionately. openCost = maxPartitionBytes
+      // stops FileSourceScan bin-packing two files into one task.
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
