@@ -1096,12 +1096,57 @@ object Queries {
         round(min(col("l_extendedprice")), 2).as("lo"),
         round(max(col("l_extendedprice")), 2).as("hi"))
       .orderBy(col("l_returnflag")),
-    Some("""SELECT l_returnflag,
-              round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-              round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-              round(min(l_extendedprice), 2) AS lo,
-              round(max(l_extendedprice), 2) AS hi
-            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+    // NOT quantile_cont: DuckDB's bare literals make the interpolation
+    // run in DECIMAL — p50 of an even-count group of 2-decimal values
+    // is an exact half-cent STRUCTURALLY (decimal 52724.245 → .25),
+    // while Spark's PercentileBase computes the same point in double
+    // (52724.244999999995 → .24). The oracle replays Spark's exact
+    // arithmetic — pos = p*(n-1); (ceil(pos)-pos)*v_lo +
+    // (pos-floor(pos))*v_hi; early return on equal brackets — with
+    // every operand cast to DOUBLE, so both engines hold the SAME
+    // double — and then emulates Spark's round, which HALF_UPs the
+    // SHORTEST DECIMAL REPR (BigDecimal.valueOf: "95471.295" → .30 but
+    // "52724.244999999995" → .24), where DuckDB's round multiplies by
+    // 10^s in double first (the tie at x*100 breaks the other way).
+    // CAST(double AS VARCHAR) is DuckDB's shortest repr; rounding that
+    // as DECIMAL reproduces Spark bit-for-bit. Caught at sf0.001.
+    Some("""WITH ranked AS (
+              SELECT l_returnflag, l_extendedprice AS v,
+                row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY l_extendedprice) - 1 AS i,
+                count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem),
+            pos AS (
+              SELECT l_returnflag, p, p * CAST(n - 1 AS DOUBLE) AS pos
+              FROM (SELECT DISTINCT l_returnflag, n FROM ranked)
+              CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS p)),
+            interp AS (
+              SELECT pos.l_returnflag, pos.p,
+                CASE WHEN ceil(pos.pos) = floor(pos.pos) OR hi.v = lo.v
+                     THEN lo.v
+                     ELSE (ceil(pos.pos) - pos.pos) * lo.v
+                        + (pos.pos - floor(pos.pos)) * hi.v
+                END AS val
+              FROM pos
+              JOIN ranked lo ON lo.l_returnflag = pos.l_returnflag
+                AND lo.i = CAST(floor(pos.pos) AS BIGINT)
+              JOIN ranked hi ON hi.l_returnflag = pos.l_returnflag
+                AND hi.i = CAST(ceil(pos.pos) AS BIGINT)),
+            pcts AS (
+              SELECT l_returnflag,
+                CAST(round(CAST(CAST(max(CASE WHEN p = 0.5 THEN val END)
+                  AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS p50,
+                CAST(round(CAST(CAST(max(CASE WHEN p = 0.9 THEN val END)
+                  AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS p90
+              FROM interp GROUP BY 1)
+            SELECT r.l_returnflag, pcts.p50, pcts.p90,
+              CAST(round(CAST(CAST(min(r.v) AS VARCHAR)
+                AS DECIMAL(38,18)), 2) AS DOUBLE) AS lo,
+              CAST(round(CAST(CAST(max(r.v) AS VARCHAR)
+                AS DECIMAL(38,18)), 2) AS DOUBLE) AS hi
+            FROM ranked r JOIN pcts USING (l_returnflag)
+            GROUP BY r.l_returnflag, pcts.p50, pcts.p90
+            ORDER BY r.l_returnflag"""))
 
   // the PRODUCTION minhash: one codegen'd expression computes the whole
   // signature (tokenize → 3-gram shingle → 8 seeded xxhash64 minima,
@@ -2049,6 +2094,106 @@ object Queries {
            LEFT JOIN sz ON cc.cluster_id = sz.cluster_id
            ORDER BY q.doc_id"""))
 
+  // ExactSubstr-style repeated-span dedup (Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better", arXiv:2107.06499):
+  // mark every token position covered by a W-token window whose text
+  // occurs MORE THAN ONCE anywhere in the corpus (including twice in
+  // the same document), report per-doc duplicated-token coverage and a
+  // keep decision. The paper's suffix array is inherently single-node;
+  // this windowed-hash formulation is the distributable equivalent:
+  //   grams:   one (doc, start, xxhash64(gram)) row per window — the
+  //            gram STRING never reaches a shuffle, only its 8-byte
+  //            hash (partial aggregation makes the count map-side)
+  //   dup set: hash-join of occurrences against hashes with count>1,
+  //            both sides hash-partitioned on h — no broadcast needed,
+  //            so the dup set may be arbitrarily large
+  //   coverage: equal-length intervals [s, s+W-1] unioned per doc via
+  //            gaps-and-islands (strict-overlap break at s-prev >= W;
+  //            union size = max(s)-min(s)+W per island)
+  // W=8 fits the 25–80-token synthetic docs; production would use the
+  // paper's 50. Oracle recomputes on the raw gram string — equality of
+  // 64-bit gram hashes and gram strings diverge only on collision
+  // (deterministic corpus: observed parity, P~1e-7 at sf0.1).
+  private val ExactSubstrW = 8
+  private val q65 = QueryDef("q65_exact_substr_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = ExactSubstrW
+      val base = t(s, d, "documents")
+        .select(col("doc_id"),
+          when(length(trim(col("text"))) === 0,
+            array().cast("array<string>"))
+            .otherwise(toks(col("text"))).as("tk"))
+        .withColumn("n_tokens", size(col("tk")))
+      val grams = base.filter(col("n_tokens") >= W)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), col("n_tokens") - W),
+          i => xxhash64(concat_ws(" ", slice(col("tk"), i + lit(1), lit(W))))))
+          .as(Seq("s", "h")))
+      val dupHashes = grams.groupBy(col("h"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      val covered = grams.join(dupHashes, "h")
+        .select(col("doc_id"), col("s"))
+        .withColumn("brk",
+          when(col("s") - lag(col("s"), 1).over(win) >= W, 1).otherwise(0))
+        .withColumn("isl", sum(col("brk")).over(win))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg((max(col("s")) - min(col("s")) + lit(W)).as("cov"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cov")).cast("long").as("dup_tokens"))
+      base.select(col("doc_id"), col("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+        .withColumn("dup_ratio", when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("dup_tokens") / col("n_tokens"), 4)))
+        .withColumn("kept", (col("dup_ratio") < 0.5).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS (
+               SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\\s+') END AS tk
+               FROM documents),
+             sized AS (
+               SELECT doc_id, tk, len(tk) AS n_tokens FROM base),
+             grams AS (
+               SELECT doc_id,
+                 unnest(range(0, n_tokens - ${ExactSubstrW - 1})) AS s,
+                 unnest(list_transform(range(0, n_tokens - ${ExactSubstrW - 1}),
+                   i -> array_to_string(tk[i+1:i+$ExactSubstrW], ' '))) AS g
+               FROM sized WHERE n_tokens >= $ExactSubstrW),
+             dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+             ds AS (SELECT doc_id, s FROM grams JOIN dup USING (g)),
+             brk AS (
+               SELECT doc_id, s,
+                 CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                        >= $ExactSubstrW THEN 1 ELSE 0 END AS brk
+               FROM ds),
+             isl AS (
+               SELECT doc_id, s, sum(brk)
+                 OVER (PARTITION BY doc_id ORDER BY s) AS isl
+               FROM brk),
+             cov AS (
+               SELECT doc_id, isl,
+                 max(s) - min(s) + $ExactSubstrW AS cov
+               FROM isl GROUP BY 1, 2),
+             dd AS (
+               SELECT doc_id, CAST(sum(cov) AS BIGINT) AS dup_tokens
+               FROM cov GROUP BY 1)
+           SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+             coalesce(dd.dup_tokens, 0) AS dup_tokens,
+             CASE WHEN b.n_tokens = 0 THEN 0.0
+                  ELSE round(coalesce(dd.dup_tokens, 0) / b.n_tokens, 4)
+             END AS dup_ratio,
+             CAST((CASE WHEN b.n_tokens = 0 THEN 0.0
+                        ELSE round(coalesce(dd.dup_tokens, 0) / b.n_tokens, 4)
+                   END) < 0.5 AS INT) AS kept
+           FROM sized b LEFT JOIN dd USING (doc_id)
+           ORDER BY doc_id"""))
+
   /** All queries, in stable order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2056,5 +2201,5 @@ object Queries {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62, q63, q64)
+    q59, q60, q61, q62, q63, q64, q65)
 }
