@@ -17,9 +17,15 @@ cd "$(dirname "$0")/.."
 FAMILY="${1:-all}"
 PAIRS="${2:-3}"
 NDOCS="${3:-2000000}"
+# corpus dirs are suffixed by size so 2M and 4M runs coexist: the
+# iterative families carry a ~17-20s fixed serial cost (per-round
+# driver sync) that only amortizes at larger corpora — measuring both
+# sizes is the Amdahl evidence, not a retry
+SFX="$((NDOCS / 1000000))m"
 JAR=target/scala-2.13/ocrpipelinespark_2.13-0.1.0.jar
 PGC="spark.executor.extraJavaOptions=-XX:+UseParallelGC -XX:ParallelGCThreads=4"
 OUT="${SPARK_GRAFT_SCALING_OUT:-/tmp/graft_bench/interleaved.jsonl}"
+CLUSTER_RUNS="${SPARK_GRAFT_CLUSTER_RUNS:-2}"
 
 sbt -batch package >/dev/null
 mkdir -p "$(dirname "$OUT")"; : > "$OUT"
@@ -45,26 +51,26 @@ family() { # name input job conf runs
   done
 }
 
-gen /tmp/graft_bench/spans2m spans
+gen "/tmp/graft_bench/spans$SFX" spans
 if [ "$FAMILY" = "all" ] || [ "$FAMILY" = "extract" ]; then
-  family extract /tmp/graft_bench/spans2m extract "" 4
+  family extract "/tmp/graft_bench/spans$SFX" extract "" 4
 fi
 if [ "$FAMILY" = "all" ] || [ "$FAMILY" = "parse" ]; then
-  gen /tmp/graft_bench/xml2m xml
-  family parse /tmp/graft_bench/xml2m parse "$PGC" 4
+  gen "/tmp/graft_bench/xml$SFX" xml
+  family parse "/tmp/graft_bench/xml$SFX" parse "$PGC" 4
 fi
 if [ "$FAMILY" = "all" ] || [ "$FAMILY" = "dedup" ]; then
-  family dedup /tmp/graft_bench/spans2m dedup "$PGC" 4
+  family dedup "/tmp/graft_bench/spans$SFX" dedup "$PGC" 4
 fi
 if [ "$FAMILY" = "all" ] || [ "$FAMILY" = "pdf" ]; then
-  gen /tmp/graft_bench/pdf2m pdf
-  family pdf /tmp/graft_bench/pdf2m pdf "$PGC" 4
+  gen "/tmp/graft_bench/pdf$SFX" pdf
+  family pdf "/tmp/graft_bench/pdf$SFX" pdf "$PGC" 4
 fi
 if [ "$FAMILY" = "all" ] || [ "$FAMILY" = "cluster" ]; then
-  family cluster /tmp/graft_bench/spans2m cluster "$PGC" 2
+  family cluster "/tmp/graft_bench/spans$SFX" cluster "$PGC" "$CLUSTER_RUNS"
 fi
 if [ "$FAMILY" = "all" ] || [ "$FAMILY" = "curate" ]; then
-  family curate /tmp/graft_bench/spans2m curate "$PGC" 2
+  family curate "/tmp/graft_bench/spans$SFX" curate "$PGC" "$CLUSTER_RUNS"
 fi
 
 python3 - "$OUT" <<'EOF'
