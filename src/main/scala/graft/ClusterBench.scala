@@ -143,18 +143,26 @@ object ClusterBench {
     val spark = SparkSession.builder()
       .appName(s"graft-cluster-bench-$label")
       .config("spark.sql.adaptive.enabled", "true")
-      // one scan task per generated file: the corpora are written as
-      // 128 single-row-group files of a few MB, so byte-range splits
-      // below the file size produce EMPTY tasks (a row group belongs
-      // to exactly one split) — at 1MB this was ~2 no-op dispatches
-      // per real one, a serial driver cost that lands on the larger
-      // cluster size disproportionately. openCost = maxPartitionBytes
-      // stops FileSourceScan bin-packing two files into one task.
-      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
-      .config("spark.sql.files.openCostInBytes", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // one scan task per generated file: the corpora are written as
+    // single-row-group files, so byte-range splits below the file size
+    // produce EMPTY tasks (a row group belongs to exactly one split) —
+    // at 1MB this was ~2 no-op dispatches per real one, a serial driver
+    // cost that lands on the larger cluster size disproportionately.
+    // Sized from the ACTUAL corpus (a fixed constant silently re-splits
+    // once bigger corpora push files past it); openCost = split size
+    // stops FileSourceScan bin-packing two files into one task.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val maxFileBytes = fs.listStatus(new org.apache.hadoop.fs.Path(spansPath))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).foldLeft(0L)(math.max)
+    val splitBytes = math.max(16L * 1024 * 1024, maxFileBytes + 1024 * 1024)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", splitBytes.toString)
 
     val docs = spark.read.parquet(spansPath)
     val n = docs.count()

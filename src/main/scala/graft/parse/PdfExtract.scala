@@ -161,15 +161,18 @@ object PdfExtract {
   }
 
   // `/Type/Page` with NO separator is legal per ISO 32000 (a name ends
-  // at any delimiter, and `/` is one) and common in the wild; `(?![a-zA-Z])`
-  // keeps /Pages (the tree node) out
+  // at any delimiter, and `/` is one) and common in the wild. The name
+  // must END there: any further REGULAR character (digits, `_`, `.` …
+  // are all legal name chars, not just letters) makes it a different
+  // name — /Pages, /Page2, /Catalog_x must not match.
+  private val NameEnd = "(?![^\\s()<>\\[\\]{}/%])"
   private val PagePat =
-    java.util.regex.Pattern.compile("/Type\\s*/Page(?![a-zA-Z])")
+    java.util.regex.Pattern.compile("/Type\\s*/Page" + NameEnd)
 
   private def isPage(dict: String): Boolean = PagePat.matcher(dict).find()
 
   private val CatalogPat =
-    java.util.regex.Pattern.compile("/Type\\s*/Catalog(?![a-zA-Z])")
+    java.util.regex.Pattern.compile("/Type\\s*/Catalog" + NameEnd)
 
   /** First `N G R` indirect reference after `key` in a dictionary. */
   private def refAfter(dict: String, key: String): Option[Int] = {

@@ -408,38 +408,28 @@ object Queries {
     * All values live in HUGEINT as unsigned [0, 2^64); multiplication
     * is split 32/32 so no intermediate exceeds 2^96 (a full 64×64
     * product can overflow signed-128 HUGEINT); signed comparisons cast
-    * back via an explicit 2^63 pivot. Prototyped cell-by-cell against
-    * the JVM implementations (graft.gen.CorpusGen.mix64,
-    * graft.text.Winnow.rollingHashes) before wiring. */
+    * back via an explicit 2^63 pivot. Generic primitives live in
+    * [[Wrap64]] (shared with [[XxHashOracleSql]]); prototyped
+    * cell-by-cell against the JVM implementations
+    * (graft.gen.CorpusGen.mix64, graft.text.Winnow.rollingHashes)
+    * before wiring. */
   private object WrapSql {
-    val M = "18446744073709551616" // 2^64
-    private val H32 = "4294967296" // 2^32
-    private val MixAdd = "11400714819323198485" // 0x9e3779b97f4a7c15
-    private val MixC1 = "13787848793156543929" // 0xbf58476d1ce4e5b9
-    private val MixC1Lo = "484763065" // MixC1 % 2^32
-    private val MixC2 = "10723151780598845931" // 0x94d049bb133111eb
-    private val MixC2Lo = "321982955" // MixC2 % 2^32
-
-    /** (a * c) mod 2^64 with a < 2^64 and a CONSTANT multiplier. */
-    private def mulmod(a: String, c: String, cLo: String): String =
-      s"((($a) % $H32) * $c + (((($a) >> 32) * $cLo) % $H32) * $H32) % $M"
-
-    private def xsh(z: String, s: Int): String = s"xor(($z), ($z) >> $s)"
+    import Wrap64.{mulmod, xsh}
+    val M: BigInt = Wrap64.M
+    def signed(x: String): String = Wrap64.signed(x)
+    private val MixAdd = BigInt("9e3779b97f4a7c15", 16)
+    private val MixC1 = BigInt("bf58476d1ce4e5b9", 16)
+    private val MixC2 = BigInt("94d049bb133111eb", 16)
 
     /** splitmix64 finalizer (graft.gen.CorpusGen.mix64) over an
       * unsigned-HUGEINT operand expression. Inlines its input ~32×,
       * so keep `z0` a short expression (a column ref or lambda var). */
     def mix64(z0: String): String = {
       val z1 = s"(($z0) + $MixAdd) % $M"
-      val z2 = mulmod(xsh(z1, 30), MixC1, MixC1Lo)
-      val z3 = mulmod(xsh(z2, 27), MixC2, MixC2Lo)
+      val z2 = mulmod(xsh(z1, 30), MixC1)
+      val z3 = mulmod(xsh(z2, 27), MixC2)
       xsh(z3, 31)
     }
-
-    /** Unsigned [0,2^64) HUGEINT → the Scala `Long` it represents. */
-    def signed(x: String): String =
-      s"""CAST(CASE WHEN ($x) >= 9223372036854775808
-            THEN ($x) - $M ELSE ($x) END AS BIGINT)"""
 
     /** graft.multimodal.Media.hashStr over a `ref` column: fold
       * mix64(h ^ char) over the chars, seeded 0x9e3779b97f4a7c15. */

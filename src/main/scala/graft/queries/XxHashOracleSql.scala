@@ -8,7 +8,7 @@ package graft.queries
   * arithmetic mod 2^64, so q43's production minhash-LSH pairs get a
   * freestanding oracle instead of rows-only status.
   *
-  * Same wrapping-arithmetic discipline as [[Queries]]' WrapSql:
+  * Wrapping arithmetic comes from the shared [[Wrap64]] primitives:
   * values live in [0, 2^64) as HUGEINT; every 64×64 multiply is split
   * 32/32 (a full product overflows signed-128 HUGEINT); rotations are
   * shift-and-add on disjoint bit ranges; signed `Long` comparisons
@@ -23,8 +23,8 @@ package graft.queries
   */
 object XxHashOracleSql {
 
-  private val M = BigInt(1) << 64
-  private val H32 = BigInt(1) << 32
+  import Wrap64.{M, mulmod, rotl, xsh, signed, unsigned}
+
   private val P1 = BigInt("9E3779B185EBCA87", 16)
   private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
   private val P3 = BigInt("165667B19E3779F9", 16)
@@ -33,16 +33,6 @@ object XxHashOracleSql {
   private val K = 8
   private val seeds = 0 until K
   private val nb = K / 2
-
-  private def mulmod(a: String, c: BigInt): String = {
-    val cl = c % H32
-    s"((($a) % $H32) * $c + (((($a) >> 32) * $cl) % $H32) * $H32) % $M"
-  }
-
-  private def rotl(x: String, r: Int): String =
-    s"((($x) % ${BigInt(1) << (64 - r)}) * ${BigInt(1) << r} + (($x) >> ${64 - r}))"
-
-  private def xsh(x: String, s: Int): String = s"xor(($x), ($x) >> $s)"
 
   /** Little-endian lane of `nbytes` ASCII chars at 1-based pos expr. */
   private def lane(s: String, p: String, nbytes: Int): String =
@@ -55,12 +45,6 @@ object XxHashOracleSql {
     mulmod(rotl(s"(($acc) + ${mulmod(laneE, P2)}) % $M", 31), P1)
 
   private def r0(v: String): String = mulmod(rotl(mulmod(v, P2), 31), P1)
-
-  private def signed(x: String): String =
-    s"CAST(CASE WHEN ($x) >= ${BigInt(1) << 63} THEN ($x) - $M ELSE ($x) END AS BIGINT)"
-
-  private def unsigned(x: String): String =
-    s"(CAST($x AS HUGEINT) + CASE WHEN ($x) < 0 THEN CAST($M AS HUGEINT) ELSE 0 END)"
 
   /** The q43 oracle: minhash signatures (XXH64 of each shingle, seeds
     * 0..7, signed minima per doc) → band hashes

@@ -139,12 +139,21 @@ object ExtractMain {
     // (single file; SPARK_GRAFT_WTR=0 opts out for huge corpora where
     // only the distributed report makes sense)
     if (!sys.env.get("SPARK_GRAFT_WTR").contains("0")) {
-      val stamp = java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd_HH-mm").withZone(java.time.ZoneOffset.UTC)
-        .format(java.time.Instant.now())
-      val wtrPath = s"$outRoot/report/corpus_$stamp.wtr"
-      Extraction.writeWtr(all, wtrPath, precomputed = Some(rep))
-      println(s"[extract] wtr: $wtrPath")
+      // over the driver-streamed cap the run must NOT die at its last
+      // step: skip the compat file (the distributed report above is
+      // the corpus-scale surface) and keep going with maintenance
+      if (rep.n_total > Extraction.WtrMaxRows)
+        println(s"[extract] wtr skipped: ${rep.n_total} rows exceed the " +
+          s"driver-streamed cap ${Extraction.WtrMaxRows}; use the " +
+          "distributed report (SPARK_GRAFT_WTR=0 silences this)")
+      else {
+        val stamp = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd_HH-mm").withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.now())
+        val wtrPath = s"$outRoot/report/corpus_$stamp.wtr"
+        Extraction.writeWtr(all, wtrPath, precomputed = Some(rep))
+        println(s"[extract] wtr: $wtrPath")
+      }
     }
     // optional snapshot maintenance: SPARK_GRAFT_EXPIRE=<keepLast>
     // drops manifest history and GCs orphaned attempt dirs

@@ -108,6 +108,9 @@ class PdfExtractSpec extends SparkSpecBase {
       "5 0 obj << /Type/Page /Parent 2 0 R /Contents 6 0 R >> endobj\n" +
       s"6 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream endobj\n" +
       s"7 0 obj << /Length ${c2.length} >>\nstream\n$c2\nendstream endobj\n" +
+      // NOT a page: /Page2 is a different name (digits are regular
+      // name chars) — the objnum fallback must not re-extract via it
+      "8 0 obj << /Type/Page2 /Contents 6 0 R >> endobj\n" +
       "%%EOF\n").getBytes(ISO_8859_1)
     assert(texts(PdfExtract.extract(pdf, "d")) == Seq("erste", "zweite"))
   }
@@ -116,8 +119,10 @@ class PdfExtractSpec extends SparkSpecBase {
     // an appended update adds a SECOND catalog (object 8) whose /Pages
     // tree reverses the reading order — the update winner must drive
     // the walk. Object 9 merely CONTAINS the string "/Catalog" as a
-    // name value and must never be selected (it points at a bogus
-    // single-page tree).
+    // name value; objects 12/13 carry /Type names that merely START
+    // with "/Catalog" (digits and underscores are legal PDF name
+    // characters, so /Catalog2 is a DIFFERENT name) — none may be
+    // selected even though 12/13 outrank object 8 by number.
     val c1 = "BT 72 700 Td (eins) Tj ET"
     val c2 = "BT 72 700 Td (zwei) Tj ET"
     val pdf = ("%PDF-1.4\n" +
@@ -131,6 +136,8 @@ class PdfExtractSpec extends SparkSpecBase {
       "10 0 obj << /Type/Pages /Kids [ 5 0 R 4 0 R ] /Count 2 >> endobj\n" +
       "9 0 obj << /SomeName /CatalogLike /Pages 11 0 R >> endobj\n" +
       "11 0 obj << /Type/Pages /Kids [ 4 0 R ] /Count 1 >> endobj\n" +
+      "12 0 obj << /Type/Catalog2 /Pages 11 0 R >> endobj\n" +
+      "13 0 obj << /Type/Catalog_x /Pages 11 0 R >> endobj\n" +
       "%%EOF\n").getBytes(ISO_8859_1)
     assert(texts(PdfExtract.extract(pdf, "d")) == Seq("zwei", "eins"))
   }

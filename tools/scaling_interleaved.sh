@@ -20,8 +20,14 @@ NDOCS="${3:-2000000}"
 # corpus dirs are suffixed by size so 2M and 4M runs coexist: the
 # iterative families carry a ~17-20s fixed serial cost (per-round
 # driver sync) that only amortizes at larger corpora — measuring both
-# sizes is the Amdahl evidence, not a retry
-SFX="$((NDOCS / 1000000))m"
+# sizes is the Amdahl evidence, not a retry. The suffix must encode
+# the size EXACTLY (gen() skips an existing dir): floor-division would
+# silently reuse e.g. the 2M corpus for a 2.5M request.
+if [ $((NDOCS % 1000000)) -eq 0 ] && [ "$NDOCS" -ge 1000000 ]; then
+  SFX="$((NDOCS / 1000000))m"
+else
+  SFX="$NDOCS"
+fi
 JAR=target/scala-2.13/ocrpipelinespark_2.13-0.1.0.jar
 PGC="spark.executor.extraJavaOptions=-XX:+UseParallelGC -XX:ParallelGCThreads=4"
 OUT="${SPARK_GRAFT_SCALING_OUT:-/tmp/graft_bench/interleaved.jsonl}"
