@@ -30,11 +30,15 @@ import org.apache.spark.sql.graftbridge.Bridge
   * rather than silently returning split components (a dedup pipeline
   * acting on split clusters would keep duplicates).
   *
-  * Storage discipline: every round is truncated with an eager
+  * Storage discipline: every round is truncated with a
   * `localCheckpoint` (persist()-based loops are fragile — downstream
   * re-references can miss cache substitution and replay the full edge
-  * lineage) and the PREVIOUS round's block is freed as soon as the
-  * next one is materialized ([[Bridge.freeLocalCheckpoint]] — plain
+  * lineage). The per-round checkpoint is marked LAZILY and
+  * materialized by the fixpoint probe's count, so a round costs one
+  * driver-synchronized job, not two — the driver sync is the serial
+  * fraction that caps multi-executor scaling of iterative stages. The
+  * PREVIOUS round's block is freed as soon as the next one is
+  * materialized ([[Bridge.freeLocalCheckpoint]] — plain
   * `unpersist()` cannot release checkpoint storage). The returned
   * labels keep only the final round's block — after forcing (or
   * persisting) the result, callers that loop (benchmarks, repeated
@@ -117,9 +121,15 @@ object ConnectedComponents {
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"),
           min(when(col("own") === 1, col("lbl"))).as("prev"))
-        .localCheckpoint()
+        // LAZY checkpoint: the fixpoint probe below is the materializing
+        // action, so each round schedules ONE driver-synchronized job
+        // instead of two (eager materialization + probe). The probe must
+        // be a full count — isEmpty is a take(1) that can stop after one
+        // partition and would leave the checkpoint partially stored.
+        .localCheckpoint(eager = false)
       val nextClean = Bridge.dropOriginStats(next)
-      converged = nextClean.filter(col("lbl") =!= col("prev")).isEmpty
+      converged =
+        nextClean.filter(col("lbl") =!= col("prev")).count() == 0L
       Bridge.freeLocalCheckpoint(prevCheckpoint)
       prevCheckpoint = next
       labels = nextClean.select(col("node"), col("lbl"))
