@@ -70,6 +70,13 @@ object ConnectedComponents {
       .join(vset.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(vset.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
       .distinct()
+      // co-locate the STATIC side of the per-round neighbor join ONCE:
+      // distinct() leaves sym hash-partitioned by (src, dst), which the
+      // join on src cannot reuse — without this, every round re-shuffles
+      // the whole edge table (the largest per-round input) and pays that
+      // exchange's stage barrier. The cached InMemoryRelation preserves
+      // hashpartitioning(src), so each round only exchanges the labels.
+      .repartition(col("src"))
       .persist() // cache-managed: the final result's lineage is
                  // checkpoint-backed, so this is safe to free below
     // only vertices that touch an edge can ever change label — iterate
