@@ -43,8 +43,14 @@ gen() { # path format
 }
 
 submit() { # master label input job conf runs
+  # executor memory must be set EXPLICITLY: local-cluster[n,c,8192]
+  # caps the WORKER at 8 GB but executors still get the 1 GB default,
+  # and the 4M-doc cluster family OOMs there (the src-partitioned edge
+  # cache concentrates a skewed corpus's hub keys in few partitions).
+  # 6 GB heap + overhead fits the 8 GB worker allowance.
   SPARK_GRAFT_BENCH_RUNS="$6" /opt/spark/bin/spark-submit --master "$1" \
-    --driver-memory 4g ${5:+--conf "$5"} \
+    --driver-memory 4g --conf spark.executor.memory=6g \
+    ${5:+--conf "$5"} \
     --class graft.ClusterBench "$JAR" "$3" "$2" "$4" \
     2>/dev/null | grep '"metric"' | tee -a "$OUT"
 }
