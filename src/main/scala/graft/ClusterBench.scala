@@ -211,7 +211,15 @@ object ClusterBench {
     // executors are registered by now (post-warmup)
     val execs = spark.sparkContext.getExecutorMemoryStatus.size - 1
     val cores = spark.sparkContext.defaultParallelism
-    spark.conf.set("spark.sql.shuffle.partitions", math.max(cores, 2).toString)
+    // partitions-per-core multiplier: 1 = one wave per shuffle (least
+    // dispatch overhead); >1 oversplits so a skewed hot partition no
+    // longer gates the whole wave — the other cores drain small tasks
+    // while it runs. Knob for measuring that tradeoff on the skewed
+    // corpus families.
+    val shufMult = sys.env.get("SPARK_GRAFT_SHUFFLE_MULT")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(cores * shufMult, 2).toString)
     // SPARK_GRAFT_BENCH_RUNS overrides best-of-4 for long-running
     // composite jobs (e.g. cluster = dedup + iterative components);
     // garbage or non-positive values fall back rather than crashing
