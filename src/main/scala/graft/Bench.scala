@@ -66,19 +66,25 @@ object Bench {
       // the final force would exclude nearly all of their real cost
       var df: DataFrame = null
       val sec = try {
-        val s = time {
+        time {
           df =
             if (q.name == "q57_pdf_extract" && pdfSynthSec >= 0)
               Queries.pdfParse(spark, spark.read.parquet(pdfTmp))
             else q.fn(spark, sfDir)
           force(df)
         }
+      } catch { case _: Throwable => -1.0 }
+      finally {
         // iterative queries (q62 components) leave localCheckpoint
         // blocks that clearCache() cannot see — free them explicitly
-        // so repeated runs don't accumulate MEMORY_AND_DISK blocks
-        org.apache.spark.sql.graftbridge.Bridge.freeLocalCheckpoint(df)
-        s
-      } catch { case _: Throwable => -1.0 }
+        // so repeated runs don't accumulate MEMORY_AND_DISK blocks.
+        // In the finally (tolerating a partially-built df): a query
+        // that THREW after checkpointing rounds must not leak its
+        // final block into the rest of the bench session.
+        if (df != null)
+          try org.apache.spark.sql.graftbridge.Bridge.freeLocalCheckpoint(df)
+          catch { case _: Throwable => }
+      }
       // drop any blocks a query persisted (minhash/simhash barriers) so
       // cached signatures neither leak executor memory across the run
       // nor cross-subsidize a later query's timing

@@ -41,7 +41,8 @@ object ClusterBench {
   /** Chase depth for the iterative components stage; env override is
     * the measurement knob for the depth-vs-stage-count tradeoff. */
   private def ccJump: Int =
-    sys.env.get("SPARK_GRAFT_CC_JUMP").map(_.toInt).getOrElse(1)
+    sys.env.get("SPARK_GRAFT_CC_JUMP")
+      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(1)
 
   private def clusterJob(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -162,11 +163,18 @@ object ClusterBench {
     // Sized from the ACTUAL corpus (a fixed constant silently re-splits
     // once bigger corpora push files past it); openCost = split size
     // stops FileSourceScan bin-packing two files into one task.
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val maxFileBytes = fs.listStatus(new org.apache.hadoop.fs.Path(spansPath))
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).foldLeft(0L)(math.max)
+    // resolve the filesystem FROM the path (a qualified s3a://or hdfs://
+    // corpus must not fall through to the default FS) and walk it
+    // recursively (partitioned layouts nest their files)
+    val corpusPath = new org.apache.hadoop.fs.Path(spansPath)
+    val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var maxFileBytes = 0L
+    val it = fs.listFiles(corpusPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        maxFileBytes = math.max(maxFileBytes, st.getLen)
+    }
     val splitBytes = math.max(16L * 1024 * 1024, maxFileBytes + 1024 * 1024)
     spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
     spark.conf.set("spark.sql.files.openCostInBytes", splitBytes.toString)

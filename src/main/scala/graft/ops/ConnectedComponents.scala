@@ -176,12 +176,17 @@ object ConnectedComponents {
     // rounds are the serial axis of this operator — surface the count
     // for scaling diagnostics (stderr, not the result)
     System.err.println(s"[graft.cc] converged=$converged rounds=$iter jumpDepth=$jumpDepth")
-    if (!converged)
+    if (!converged) {
+      // the final round's block would otherwise outlive the failure
+      // (callers that swallow the throw — best-of-N benches — would
+      // leak one MEMORY_AND_DISK block per failed attempt)
+      Bridge.freeLocalCheckpoint(prevCheckpoint)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds — " +
           "the graph has a component whose min-vertex eccentricity exceeds " +
           "the bound; raise maxIter (silently returning split clusters " +
           "would make a dedup pipeline keep duplicates)")
+    }
     // vertices outside every edge are their own components
     val untouched = vertices.select(col(vCol).as("node"))
       .join(labels.select(col("node")), Seq("node"), "left_anti")

@@ -34,7 +34,12 @@ object XxHashOracleSql {
   private val seeds = 0 until K
   private val nb = K / 2
 
-  /** Little-endian lane of `nbytes` ASCII chars at 1-based pos expr. */
+  /** Little-endian lane of `nbytes` ASCII chars at 1-based pos expr.
+    * ASCII-ONLY by construction: `ord` yields the CODEPOINT while
+    * Spark's xxhash64 consumes UTF-8 BYTES — they agree only below
+    * 0x80 (and ord > 255 would also corrupt the byte-lane packing).
+    * The `shingles` CTE asserts this with an `error()` guard rather
+    * than silently diverging on a non-ASCII corpus. */
   private def lane(s: String, p: String, nbytes: Int): String =
     "(" + (0 until nbytes).map { i =>
       val t = s"CAST(ord(substring($s, CAST(($p) + $i AS INT), 1)) AS HUGEINT)"
@@ -171,7 +176,11 @@ object XxHashOracleSql {
              i -> array_to_string(tk[i:i+2], ' ')))
            ELSE [array_to_string(tk, ' ')] END) AS sh
          FROM tt),
-       shingles AS (SELECT doc_id, sh, CAST(length(sh) AS BIGINT) AS n FROM ss),
+       shingles AS (SELECT doc_id, sh,
+         CASE WHEN octet_length(encode(sh)) = length(sh)
+              THEN CAST(length(sh) AS BIGINT)
+              ELSE CAST(error('xxhash64 oracle requires ASCII shingles: the lanes hash character codepoints while Spark hashes UTF-8 bytes') AS BIGINT)
+         END AS n FROM ss),
        $cLanes,
        $cSt,
        $cH0,

@@ -21,10 +21,15 @@ object Bridge {
     * driver GC + ContextCleaner get around to it. Walks the whole
     * analyzed plan, so it also frees checkpoints buried under derived
     * projections/unions (e.g. the labels a ConnectedComponents caller
-    * holds). No-op for plans with no checkpoint-backed node. */
+    * holds). Only RDDs that are actually locally checkpointed are
+    * touched — a LogicalRDD can also back `createDataFrame(rdd)` data
+    * a caller persisted intentionally, and yanking that storage from
+    * under another live DataFrame would silently replay (or break) its
+    * lineage. No-op for plans with no checkpoint-backed node. */
   def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if org.apache.spark.rdd.GraftRddShim.isLocallyCheckpointed(lr.rdd) =>
         lr.rdd.unpersist(blocking = false)
       case _ =>
     }
