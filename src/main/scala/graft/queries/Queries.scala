@@ -641,7 +641,10 @@ object Queries {
           col("n_words"), col("n_lines_in"), col("n_lines_out"), col("hit_ratio"))
         .orderBy(col("doc_id"))
     },
-    None)
+    // the full pipeline REPLAYED in DuckDB (replace chain → line
+    // grouping → wrap-merge fold → sanitize → dense filter → error
+    // lexicon → python-round hit ratio) — see [[PipelineOracleSql]]
+    Some(PipelineOracleSql.q29Sql))
 
   /** Stopword profiles for the q30 language-id heuristic. */
   private val LangProfiles: Seq[(String, Seq[String])] = Seq(
@@ -1157,17 +1160,45 @@ object Queries {
 
   // the SCALE path next to exact q40: approx_percentile keeps a bounded
   // sketch per group instead of buffering every value (exact percentile
-  // is a per-task OOM at 10^8 values/group). Approximate by design →
-  // rows-only; q40 stays the oracled exact twin.
+  // is a per-task OOM at 10^8 values/group). The sketch value itself is
+  // engine-defined (merge-order dependent), so instead of hashing it the
+  // query VERIFIES ITS PUBLISHED CONTRACT: the returned element's rank
+  // interval [count(<x)+1, count(<=x)] must intersect the target rank
+  // ± ε·n (ε = 1/accuracy, +2 slack for the target-rank rounding
+  // convention). The oracle recomputes group keys and exact counts and
+  // pins the contract booleans TRUE — a broken sketch hash-mismatches.
+  // The rank counts are a second scan-aggregate against the broadcast
+  // group table (no sort, no per-group buffering): oracle scaffolding
+  // with the same scale shape as the sketch pass itself.
   private val q42 = QueryDef("q42_percentiles_approx",
-    (s, d) => t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("p50"),
-        round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 2).as("p90"),
-        count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag")),
-    None)
+    (s, d) => {
+      val acc = 10000
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(expr(s"approx_percentile(l_extendedprice, 0.5, $acc)").as("ap50"),
+          expr(s"approx_percentile(l_extendedprice, 0.9, $acc)").as("ap90"),
+          count(lit(1)).as("n"))
+      val eps = lit(1.0 / acc)
+      def rankOk(p: Double, lt: Column, le: Column): Column = {
+        val target = lit(p) * col("n")
+        val margin = eps * col("n") + lit(2.0)
+        (lt + lit(1.0) <= target + margin) && (le >= target - margin)
+      }
+      li.join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("n")).as("n"),
+          sum(when(col("l_extendedprice") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("l_extendedprice") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("l_extendedprice") < col("ap90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("l_extendedprice") <= col("ap90"), 1L).otherwise(0L)).as("le90"))
+        .select(col("l_returnflag"), col("n"),
+          rankOk(0.5, col("lt50").cast("double"), col("le50").cast("double")).as("p50_ok"),
+          rankOk(0.9, col("lt90").cast("double"), col("le90").cast("double")).as("p90_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // scalar string-function battery (C5/C7-adjacent surface)
   private val q41 = QueryDef("q41_string_funcs",
@@ -1392,8 +1423,13 @@ object Queries {
   // the SCALE twin of exact q48: HyperLogLog++ sketches keep the
   // per-group state bounded (a few KB) no matter how unbounded the
   // OCR-noise vocabulary gets — the exchange moves sketches, not the
-  // full distinct token set. Approximate by design → rows-only; q48
-  // stays the oracled exact twin.
+  // full distinct token set. The estimate itself is engine-defined, so
+  // the query VERIFIES THE SKETCH'S PUBLISHED ERROR instead of hashing
+  // it: |estimate − exact| ≤ 3·rsd·exact (three standard deviations of
+  // the rsd=5% sketch). The oracle recomputes the exact count and pins
+  // the bound boolean TRUE. The exact distinct riding alongside is
+  // oracle scaffolding — the production scale path is the sketch agg
+  // alone (q48 is the exact twin where exactness is the semantics).
   private val q50 = QueryDef("q50_vocab_approx",
     (s, d) => t(s, d, "documents")
       .select(col("lang"), explode(toks(col("text"))).as("tok"))
@@ -1401,10 +1437,19 @@ object Queries {
       // default 5% rsd: the 2^9-register sketch updates ~3× faster than
       // a 1%-rsd 2^14-register one and already beats the exact distinct
       // at sf0.1 — precision beyond that buys nothing for corpus stats
-      .agg(approx_count_distinct(col("tok"), 0.05).as("vocab_approx"),
+      .agg(approx_count_distinct(col("tok"), 0.05).as("va"),
+        countDistinct(col("tok")).as("vocab_exact"),
         count(lit(1)).as("n_tokens"))
+      .select(col("lang"), col("vocab_exact"), col("n_tokens"),
+        (abs(col("va") - col("vocab_exact")).cast("double")
+          <= lit(3 * 0.05) * col("vocab_exact").cast("double")).as("vocab_ok"))
       .orderBy(col("lang")),
-    None)
+    Some("""SELECT lang, count(DISTINCT tok) AS vocab_exact,
+              count(*) AS n_tokens, TRUE AS vocab_ok
+            FROM (
+              SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents)
+            GROUP BY lang ORDER BY lang"""))
 
   // as-of join (an operator Spark lacks natively): each purchase event
   // matched to the user's latest click at-or-before it — via the

@@ -15,6 +15,6 @@ class SparkEntrySpec extends SparkSpecBase {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
     assert(qs.forall(_.matches("q\\d{2}_[a-z0-9_]+")), s"bad names: $qs")
-    assert(qs.size == 65 && os.size == 62)
+    assert(qs.size == 65 && os.size == 65)
   }
 }
