@@ -28,6 +28,30 @@ import org.apache.spark.sql.functions._
   * (GPT-2 convention). Same corpus → same merges → same counts,
   * independent of partitioning.
   */
+/** A learned tokenizer artifact: the merge table plus the base
+  * alphabet it was learned over, with a derived token-id vocabulary
+  * (GPT-2 convention: special sentinel, then the base alphabet, then
+  * one token per merge in rank order). Ids are therefore stable
+  * across [[Bpe.save]]/[[Bpe.load]] round-trips — a training pipeline
+  * can tokenize shards months apart against the same artifact. */
+final case class BpeModel(alphabet: Vector[String],
+    merges: Vector[(String, String)]) {
+
+  /** symbol → token id. Covers every symbol [[Bpe.encode]] can emit
+    * for in-alphabet text; out-of-alphabet characters (new scripts in
+    * a later corpus slice) are NOT silently assigned — callers map
+    * them to [[BpeModel.UnknownId]]. */
+  lazy val vocab: Map[String, Int] =
+    ((Bpe.Eow +: alphabet).distinct ++ merges.map { case (a, b) => a + b })
+      .zipWithIndex.toMap
+
+  def tokenId(sym: String): Int = vocab.getOrElse(sym, BpeModel.UnknownId)
+}
+
+object BpeModel {
+  val UnknownId: Int = -1
+}
+
 object Bpe {
 
   /** End-of-word sentinel (Sennrich `</w>`): keeps merges from
@@ -39,7 +63,14 @@ object Bpe {
     * occurs fewer than `minCount` times (merging hapax pairs is
     * noise). Words are whitespace token types of `textCol`. */
   def learn(corpus: DataFrame, textCol: String, nMerges: Int,
-      vocabCap: Int = 10000, minCount: Long = 2L): Seq[(String, String)] = {
+      vocabCap: Int = 10000, minCount: Long = 2L): Seq[(String, String)] =
+    learnModel(corpus, textCol, nMerges, vocabCap, minCount).merges
+
+  /** Like [[learn]] but returns the full persistable artifact: the
+    * merge table plus the base alphabet of the capped type table
+    * (sorted — deterministic ids). */
+  def learnModel(corpus: DataFrame, textCol: String, nMerges: Int,
+      vocabCap: Int = 10000, minCount: Long = 2L): BpeModel = {
     // the one corpus-scale job: word-type counts, capped. The cap is
     // what bounds the driver collect — NEVER lift it to "all types"
     // on an unbounded corpus.
@@ -51,7 +82,46 @@ object Bpe {
       .limit(vocabCap)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    learnFromTypes(types, nMerges, minCount)
+      .toSeq
+    val alphabet = types.iterator.flatMap(_._1.iterator)
+      .map(_.toString).toVector.distinct.sorted
+    BpeModel(alphabet, learnFromTypes(types, nMerges, minCount).toVector)
+  }
+
+  /** Persist a learned model as a new version of a
+    * [[graft.io.SnapshotStore]] table (rows: kind ∈ {alpha, merge},
+    * rank, a, b) — the same atomic-manifest commit protocol the
+    * extraction sink uses, so tokenizer artifacts get snapshot
+    * isolation, time travel (retokenize an old shard against the
+    * EXACT model that produced it via `load(root, Some(v))`), and
+    * [[graft.io.SnapshotStore.expire]] GC for free. Returns the
+    * committed version. */
+  def save(spark: SparkSession, model: BpeModel, root: String): Long = {
+    import spark.implicits._
+    val rows =
+      model.alphabet.zipWithIndex.map { case (s, i) => ("alpha", i, s, null: String) } ++
+      model.merges.zipWithIndex.map { case ((a, b), i) => ("merge", i, a, b) }
+    val store = new graft.io.SnapshotStore(spark, root)
+    val path = store.newDataPath(0)
+    // one artifact = one partition = one file: tiny by construction
+    // (vocabCap-bounded), so the single-file write is the right shape
+    rows.toDF("kind", "rank", "a", "b").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    store.commit(0, path, rows.size.toLong, 0L, 0L)
+  }
+
+  /** Load a model version (default: current) saved by [[save]].
+    * The collect is bounded by the learner's vocabCap. */
+  def load(spark: SparkSession, root: String,
+      version: Option[Long] = None): BpeModel = {
+    val rows = new graft.io.SnapshotStore(spark, root).read(version)
+      .select(col("kind"), col("rank"), col("a"), col("b"))
+      .collect()
+    val alphabet = rows.filter(_.getString(0) == "alpha")
+      .sortBy(_.getInt(1)).map(_.getString(2)).toVector
+    val merges = rows.filter(_.getString(0) == "merge")
+      .sortBy(_.getInt(1)).map(r => (r.getString(2), r.getString(3))).toVector
+    BpeModel(alphabet, merges)
   }
 
   /** The merge loop itself, exposed for tests: `types` are (word,

@@ -71,4 +71,38 @@ class BpeSpec extends SparkSpecBase {
     val b = Bpe.learn(docs.repartition(13), "text", nMerges = 12)
     assert(a == b)
   }
+
+  test("model save/load round-trips through SnapshotStore with time travel") {
+    import spark.implicits._
+    val docs = (0 until 100)
+      .map(i => (s"d$i", "newest widest lowest low lower new"))
+      .toDF("doc_id", "text")
+    val model = Bpe.learnModel(docs, "text", nMerges = 15, minCount = 2L)
+    assert(model.merges.nonEmpty && model.alphabet.nonEmpty)
+
+    val root = java.nio.file.Files.createTempDirectory("bpestore").toString
+    val v1 = Bpe.save(spark, model, root)
+    assert(v1 == 1L)
+    val loaded = Bpe.load(spark, root)
+    assert(loaded == model)
+    // derived token ids are stable across the round-trip
+    assert(loaded.vocab == model.vocab)
+    assert(loaded.tokenId("zzz-not-a-symbol") == graft.text.BpeModel.UnknownId)
+
+    // encode under the LOADED model matches encode under the learned
+    // one — the artifact is sufficient to tokenize without relearning
+    val a = Bpe.encodeCount(docs.limit(10), "doc_id", "text", model.merges)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    val b = Bpe.encodeCount(docs.limit(10), "doc_id", "text", loaded.merges)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(a == b)
+
+    // a retrained model commits a NEW version; the old one stays
+    // readable (time travel — retokenize an old shard bit-exactly)
+    val model2 = Bpe.learnModel(docs, "text", nMerges = 3, minCount = 2L)
+    val v2 = Bpe.save(spark, model2, root)
+    assert(v2 == 2L)
+    assert(Bpe.load(spark, root) == model2)
+    assert(Bpe.load(spark, root, Some(v1)) == model)
+  }
 }
