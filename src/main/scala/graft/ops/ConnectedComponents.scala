@@ -69,19 +69,84 @@ object ConnectedComponents {
     *                  round — depth 1 was 23% faster end-to-end than
     *                  depth 4. Depth 0 (no chase) does NOT converge:
     *                  the chase is what doubles pointers.
+    * @param localContract run a partition-local union-find contraction
+    *                  over the edge list before the iterative loop
+    *                  (one narrow mapPartitions, no shuffle): each
+    *                  partition's edges collapse to stars on the
+    *                  partition-local component minimum. Connectivity
+    *                  is preserved exactly — every original edge is
+    *                  witnessed by the two star edges of its
+    *                  partition — while intra-partition chains (LSH
+    *                  buckets that land together) drop to diameter 2,
+    *                  so the global loop starts from a FAR shallower
+    *                  graph. Rounds are the serial axis of this
+    *                  operator (each costs one driver-synchronized
+    *                  job), and the per-round checkpoint traffic is
+    *                  what saturates shared storage bandwidth at the
+    *                  larger cluster size — the pre-pass attacks both.
     * @return (node, lbl) — lbl is the component's min vertex id
     */
   def run(vertices: DataFrame, vCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, maxIter: Int = 20,
-      jumpDepth: Int = 1): DataFrame = {
+      jumpDepth: Int = 1, localContract: Boolean = true): DataFrame = {
     val vset = vertices.select(col(vCol).as("node"))
-    val sym = edges
+    // endpoint gating on the ORIENTED edges (half the semi-join input
+    // of gating the symmetrized table); the dst-then-src order leaves
+    // the join output hash-partitioned by src — star hubs co-located —
+    // which is exactly the layout the contraction pass collapses best
+    val oriented = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      // edges are only meaningful between vertices of the given set
-      .join(vset.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(vset.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .join(vset.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"))
+    // the contraction emits BOTH orientations in the same pass, so the
+    // symmetrizing self-union (two references that would re-run the
+    // semi-joins + contraction) disappears on that path
+    val symRaw = (if (localContract) contractLocal(oriented)
+      else oriented.unionByName(
+        oriented.select(col("dst").as("src"), col("src").as("dst"))))
       .distinct()
+
+    // ROW-WIDTH of the iterated state is what the loop pays for 10+
+    // rounds of shuffle + checkpoint write + checkpoint re-read — on a
+    // string-keyed corpus (16-char doc ids) every state row carries
+    // three UTF8 strings where three longs would do, and at the larger
+    // cluster size that traffic is exactly what saturates the shared
+    // storage/memory bandwidth (BENCH.md round 5: the 2×4→4×4 collapse).
+    // So non-integral vertex ids are remapped ONCE to dense longs whose
+    // ORDER MATCHES the original type's (sort + zipWithIndex — an
+    // order-preserving distributed ranking, the GraphX vertex-id
+    // design), the loop runs ~3× narrower, and labels decode at exit.
+    // min(id) ↔ min(node), so the min-label semantics are unchanged.
+    val vtype = symRaw.schema("src").dataType
+    val integral = vtype match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val (symEdges, idMapOpt) =
+      if (integral) (symRaw, None)
+      else {
+        val endpoints = symRaw.select(col("src").as("node")).distinct()
+        val idRdd = endpoints.orderBy("node").rdd.zipWithIndex()
+          .map { case (r, i) => org.apache.spark.sql.Row(r.get(0), i) }
+        // lazily checkpointed: materializes inside the round-1 probe
+        // job (it feeds the cached edge table) and is freed by the
+        // caller's Bridge.freeLocalCheckpoint(result) walk, exactly
+        // like the loop's own round checkpoints
+        val idMap = vertices.sparkSession.createDataFrame(idRdd,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", vtype, nullable = false),
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+          .localCheckpoint(eager = false)
+        val remapped = symRaw
+          .join(idMap.select(col("node").as("src"), col("id").as("_sid")), Seq("src"))
+          .join(idMap.select(col("node").as("dst"), col("id").as("_did")), Seq("dst"))
+          .select(col("_sid").as("src"), col("_did").as("dst"))
+        (remapped, Some(idMap))
+      }
+    val sym = symEdges
       // co-locate the STATIC side of the per-round neighbor join ONCE:
       // distinct() leaves sym hash-partitioned by (src, dst), which the
       // join on src cannot reuse — without this, every round re-shuffles
@@ -177,20 +242,103 @@ object ConnectedComponents {
     // for scaling diagnostics (stderr, not the result)
     System.err.println(s"[graft.cc] converged=$converged rounds=$iter jumpDepth=$jumpDepth")
     if (!converged) {
-      // the final round's block would otherwise outlive the failure
-      // (callers that swallow the throw — best-of-N benches — would
-      // leak one MEMORY_AND_DISK block per failed attempt)
+      // the final round's block (and the id-map checkpoint) would
+      // otherwise outlive the failure (callers that swallow the throw —
+      // best-of-N benches — would leak MEMORY_AND_DISK blocks per
+      // failed attempt)
       Bridge.freeLocalCheckpoint(prevCheckpoint)
+      idMapOpt.foreach(Bridge.freeLocalCheckpoint)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds — " +
           "the graph has a component whose min-vertex eccentricity exceeds " +
           "the bound; raise maxIter (silently returning split clusters " +
           "would make a dedup pipeline keep duplicates)")
     }
+    // decode the dense long ids back to the caller's vertex values
+    // (both columns ride the same checkpointed id map)
+    val labelsOut = idMapOpt match {
+      case None => labels
+      case Some(idMap) =>
+        labels
+          .join(idMap.select(col("id").as("node"), col("node").as("_nv")), Seq("node"))
+          .join(idMap.select(col("id").as("lbl"), col("node").as("_lv")), Seq("lbl"))
+          .select(col("_nv").as("node"), col("_lv").as("lbl"))
+    }
     // vertices outside every edge are their own components
     val untouched = vertices.select(col(vCol).as("node"))
-      .join(labels.select(col("node")), Seq("node"), "left_anti")
+      .join(labelsOut.select(col("node")), Seq("node"), "left_anti")
       .withColumn("lbl", col("node"))
-    labels.unionByName(untouched)
+    labelsOut.unionByName(untouched)
+  }
+
+  /** Partition-local union-find contraction (the "local aggregation"
+    * trick of the MapReduce-CC literature): within each partition,
+    * union every edge's endpoints, then emit star edges from every
+    * member to its local component representative — BOTH orientations,
+    * so the caller needs no symmetrizing self-union. Narrow (zero
+    * shuffle), one pass, memory bounded by the partition's distinct
+    * endpoint count. The representative is the component's MIN member
+    * when the id type is orderable (accelerates the global min-label
+    * loop); for exotic types it falls back to an arbitrary root, which
+    * is still CORRECT — the loop computes the true minimum either way,
+    * the choice only affects convergence speed. Output size is at most
+    * 2·(distinct endpoints per partition), ≤ the symmetrized input and
+    * usually far smaller on bucket-clustered candidate graphs. */
+  private[graft] def contractLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val schema = e.schema
+    val ord: Ordering[Any] = e.schema.head.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        Ordering.by((a: Any) => a.asInstanceOf[String])
+      case org.apache.spark.sql.types.LongType =>
+        Ordering.by((a: Any) => a.asInstanceOf[Long])
+      case org.apache.spark.sql.types.IntegerType =>
+        Ordering.by((a: Any) => a.asInstanceOf[Int])
+      case org.apache.spark.sql.types.ShortType =>
+        Ordering.by((a: Any) => a.asInstanceOf[Short])
+      case _ => null
+    }
+    val rows = e.rdd.mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      // find with path halving; roots map to themselves (every vertex
+      // is inserted on first sight, so lookups of a present key never
+      // return null)
+      def find(x0: Any): Any = {
+        var x = x0
+        var p = parent.get(x)
+        if (p == null) { parent.put(x, x); return x }
+        while (p != x) {
+          val gp = parent.get(p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.get(x)
+        }
+        x
+      }
+      it.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          val ru = find(r.get(0))
+          val rv = find(r.get(1))
+          if (ru != rv) parent.put(ru, rv)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val keys = parent.keySet().asScala.toArray
+      val repr = new java.util.HashMap[Any, Any]()
+      keys.foreach { v =>
+        val root = find(v)
+        if (ord != null) {
+          val cur = repr.get(root)
+          if (cur == null || ord.lt(v, cur)) repr.put(root, v)
+        } else repr.put(root, root)
+      }
+      keys.iterator.flatMap { v =>
+        val m = repr.get(find(v))
+        if (m == v) Iterator.empty
+        else Iterator(org.apache.spark.sql.Row(v, m),
+          org.apache.spark.sql.Row(m, v))
+      }
+    }
+    spark.createDataFrame(rows, schema)
   }
 }

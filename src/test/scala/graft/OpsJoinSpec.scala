@@ -141,14 +141,72 @@ class OpsJoinSpec extends SparkSpecBase {
     assert(got2 == got)
 
     // a component needing more rounds than maxIter THROWS instead of
-    // silently returning split clusters
+    // silently returning split clusters (contraction off: the pre-pass
+    // would legitimately collapse this single-partition-sized chain
+    // below the bound, which is the point of having it)
     val chain = (1L to 9L).map(i => (i, i + 1)).toDF("a", "b")
     val chainV = (1L to 10L).toDF("v")
     intercept[IllegalStateException] {
-      ConnectedComponents.run(chainV, "v", chain, "a", "b", maxIter = 3).collect()
+      ConnectedComponents.run(chainV, "v", chain, "a", "b", maxIter = 3,
+        localContract = false).collect()
     }
     assert(ConnectedComponents.run(chainV, "v", chain, "a", "b", maxIter = 12)
       .collect().forall(_.getLong(1) == 1L))
+  }
+
+  test("string vertex ids run the long-remap loop and decode exactly") {
+    import spark.implicits._
+    // same chain + triangle + singleton topology as the long-id test,
+    // but string-keyed — exercises the order-preserving dense-id remap
+    // (sort + zipWithIndex) and the exit decode joins end-to-end
+    val f = (i: Int) => f"v_$i%03d"
+    val vertices = (1 to 10).map(f).toDF("v")
+    val edges = Seq((1, 2), (2, 3), (3, 4), (4, 5), (7, 8), (9, 8), (7, 9), (8, 7))
+      .map { case (a, b) => (f(a), f(b)) }.toDF("a", "b")
+    val got = ConnectedComponents.run(vertices, "v", edges, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      f(1) -> f(1), f(2) -> f(1), f(3) -> f(1), f(4) -> f(1), f(5) -> f(1),
+      f(6) -> f(6), f(7) -> f(7), f(8) -> f(7), f(9) -> f(7), f(10) -> f(10)))
+  }
+
+  test("local contraction preserves components exactly on a random graph") {
+    import spark.implicits._
+    // pseudo-random sparse graph over 400 vertices: rings + random
+    // chords + self-loops + duplicate and reversed edges, spread over
+    // many partitions so contraction sees fragments of components
+    val rnd = new scala.util.Random(1234)
+    val edges = ((0L until 390L).map(i => (i, i + rnd.nextInt(3) + 1)) ++
+      (0 until 150).map(_ => (rnd.nextInt(400).toLong, rnd.nextInt(400).toLong)))
+      .toDF("a", "b").repartition(17)
+    val vertices = (0L until 400L).toDF("v")
+    def labels(contract: Boolean) =
+      ConnectedComponents.run(vertices, "v", edges, "a", "b",
+          localContract = contract)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(true) == labels(false))
+
+    // the contraction emits symmetric star edges toward partition
+    // minima and never self-edges; per partition the output is bounded
+    // by 2× its distinct endpoints (a vertex fragmented across
+    // partitions emits one star edge per fragment, so the GLOBAL count
+    // can exceed the input on adversarially scattered graphs — the
+    // shrinkage claim belongs to co-located layouts, below)
+    val oriented = edges.select(col("a").as("src"), col("b").as("dst"))
+    val contracted = ConnectedComponents.contractLocal(oriented)
+    assert(contracted.filter(col("src") === col("dst")).count() == 0)
+
+    // on the layout the operator actually feeds it (edges co-located
+    // by hub — LSH buckets land together), whole stars collapse and
+    // the deduped output is strictly smaller than the symmetrized
+    // input: 40 hubs × 50 members in 8 partitions
+    val stars = (0 until 2000).map(i => (s"hub_${i % 40}", s"m_${i % 40}_${i / 40}"))
+      .toDF("src", "dst").repartition(8, col("src"))
+    val cs = ConnectedComponents.contractLocal(stars).distinct().count()
+    val ss = stars.unionByName(
+      stars.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().count()
+    assert(cs <= ss, s"contracted $cs > symmetrized $ss on hub-clustered input")
   }
 
   test("LSH star edges span exactly the same components as all-pairs edges") {
