@@ -44,6 +44,25 @@ object ClusterBench {
     sys.env.get("SPARK_GRAFT_CC_JUMP")
       .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(1)
 
+  /** Contraction passes before the loop (alternating shuffle + local
+    * union-find); measurement knob for passes-vs-rounds tradeoff. */
+  private def ccPasses: Int =
+    sys.env.get("SPARK_GRAFT_CC_PASSES")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+
+  /** Fixpoint-probe cadence (rounds per driver-synchronized job).
+    * Default 1: the lazy checkpoint already folds the probe into the
+    * round's one job, so batching only saves per-job scheduling while
+    * risking a full overshoot round — measured NET-NEGATIVE at 8M
+    * (cluster 4×4: 112.9 s at probe=2 vs 101.6 s at probe=1; the
+    * convergence check lands up to k−1 rounds late and one wasted
+    * round of join work outweighs the ~1 s/job sync it saves). Kept
+    * as a knob because the tradeoff flips if per-job sync cost rises
+    * (e.g. a remote cluster scheduler). */
+  private def ccProbe: Int =
+    sys.env.get("SPARK_GRAFT_CC_PROBE")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+
   private def clusterJob(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -54,7 +73,7 @@ object ClusterBench {
       8, 2, (a, b) => xxhash64(a, b))
     graft.ops.ConnectedComponents.run(
       docs.select(col("doc_id")), "doc_id", edges, "d1", "d2",
-      jumpDepth = ccJump)
+      jumpDepth = ccJump, contractPasses = ccPasses, probeEvery = ccProbe)
   }
 
   /** Curation job: the q64 shape at bench scale — quality gate →
@@ -78,11 +97,53 @@ object ClusterBench {
       8, 2, (a, b) => xxhash64(a, b))
     val cc = graft.ops.ConnectedComponents.run(
       quality.select(col("doc_id")), "doc_id", edges, "d1", "d2",
-      jumpDepth = ccJump)
+      jumpDepth = ccJump, contractPasses = ccPasses, probeEvery = ccProbe)
     cc.filter(col("node") === col("lbl")) // canonical survivors
       .join(quality.select(col("doc_id").as("node"), col("n_tokens")), Seq("node"))
       .agg(count(lit(1)).as("docs_kept"),
         sum(col("n_tokens")).as("tokens_kept"))
+  }
+
+  /** ExactSubstr repeated-span dedup at bench scale (q65's shape, Lee
+    * et al. 2107.06499 §4 with the paper's W=50): every W-token window
+    * is hashed IN the Generate — only (doc_id, offset, hash64) rows
+    * ever shuffle, never the gram string — duplicated hashes are found
+    * by a map-side-combined count, and per-doc duplicated-token
+    * coverage comes from a gaps-and-islands window over the hit
+    * offsets. Per-token intermediate (the heaviest per-byte family in
+    * the bench: ~n_tokens rows per doc), so its N→4N behavior measures
+    * the wide-shuffle path the way `cluster` measures the iterative
+    * path. */
+  private def exactSubstrJob(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val W = 50
+    val base = docs.select(col("doc_id"),
+        split(trim(concat_ws(" ",
+          transform(col("spans"), s => s.getField("text")))), "\\s+").as("tk"))
+      .withColumn("n_tokens", size(col("tk")))
+    val grams = base.filter(col("n_tokens") >= W)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("n_tokens") - W),
+        i => xxhash64(concat_ws(" ", slice(col("tk"), i + lit(1), lit(W))))))
+        .as(Seq("s", "h")))
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val covered = grams.join(dupHashes, "h")
+      .select(col("doc_id"), col("s"))
+      .withColumn("brk",
+        when(col("s") - lag(col("s"), 1).over(win) >= W, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(win))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("s")) - min(col("s")) + lit(W)).as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).cast("long").as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
   /** Parse job: (doc_id, xml) rows → pooled-StAX parse → span docs
@@ -210,15 +271,21 @@ object ClusterBench {
           Bench.force(stats)
           org.apache.spark.sql.graftbridge.Bridge.freeLocalCheckpoint(stats)
           spark.catalog.clearCache()
+        case "exactsubstr" => Bench.force(exactSubstrJob(docs))
         case "parse"   => Bench.force(parseJob(spark, spansPath))
         case "pdf"     => Bench.force(pdfJob(spark, spansPath))
         case other     => throw new IllegalArgumentException(s"unknown job '$other'")
       }
     }
-    runJob() // warmup
-    // executors are registered by now (post-warmup)
-    val execs = spark.sparkContext.getExecutorMemoryStatus.size - 1
-    val cores = spark.sparkContext.defaultParallelism
+    // shuffle partitioning must be in place BEFORE the warmup so the
+    // warmup exercises the exact plans the timed runs use (the CC loop
+    // runs AQE-off, so nothing coalesces a wrong default at runtime).
+    // Executors register asynchronously, so the core count is parsed
+    // from the local-cluster master instead of defaultParallelism.
+    val totalCores = "local-cluster\\[(\\d+),(\\d+),\\d+\\]".r
+      .findFirstMatchIn(spark.sparkContext.master)
+      .map(m => m.group(1).toInt * m.group(2).toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
     // partitions-per-core multiplier: 1 = one wave per shuffle (least
     // dispatch overhead); >1 oversplits so a skewed hot partition no
     // longer gates the whole wave — the other cores drain small tasks
@@ -227,7 +294,11 @@ object ClusterBench {
     val shufMult = sys.env.get("SPARK_GRAFT_SHUFFLE_MULT")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
     spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(cores * shufMult, 2).toString)
+      math.max(totalCores * shufMult, 2).toString)
+    runJob() // warmup
+    // executors are registered by now (post-warmup)
+    val execs = spark.sparkContext.getExecutorMemoryStatus.size - 1
+    val cores = spark.sparkContext.defaultParallelism
     // SPARK_GRAFT_BENCH_RUNS overrides best-of-4 for long-running
     // composite jobs (e.g. cluster = dedup + iterative components);
     // garbage or non-positive values fall back rather than crashing

@@ -84,12 +84,70 @@ object ConnectedComponents {
     *                  job), and the per-round checkpoint traffic is
     *                  what saturates shared storage bandwidth at the
     *                  larger cluster size — the pre-pass attacks both.
+    * @param contractPasses number of contraction passes (requires
+    *                  `localContract`). Passes after the first
+    *                  re-shuffle the star edges BY ENDPOINT
+    *                  (`repartition(src)`) and contract again: stars
+    *                  sharing any member now sit in one partition and
+    *                  merge, so cross-partition chains collapse
+    *                  geometrically — the alternating
+    *                  shuffle-then-local-union scheme of the
+    *                  MapReduce-CC literature (Kiveris et al.,
+    *                  "Connected Components in MapReduce and Beyond":
+    *                  alternating star operations). Each extra pass
+    *                  costs ONE exchange of the (already contracted)
+    *                  edge table + a narrow pass — far cheaper than
+    *                  the label-loop rounds it removes, each of which
+    *                  is a driver-synchronized job of several joins
+    *                  (measured at 8M docs: 2 passes cut the loop from
+    *                  11 rounds to 5 and the 1×4 job by ~25%).
+    * @param probeEvery check the fixpoint (and materialize the pending
+    *                  round checkpoints) every k rounds instead of
+    *                  every round. Rounds between probes stay LAZY —
+    *                  each is a shallow LogicalRDD whose lineage chains
+    *                  in the RDD layer — so k rounds execute as ONE
+    *                  driver-synchronized job. Convergence is detected
+    *                  up to k−1 rounds late (the overshoot rounds are
+    *                  cheap: a converged state joined/aggregated again
+    *                  is work but no change), which trades a bounded
+    *                  slice of parallel work for fewer serial
+    *                  round-trips — the term that caps multi-executor
+    *                  scaling. maxIter still bounds and still throws.
     * @return (node, lbl) — lbl is the component's min vertex id
     */
   def run(vertices: DataFrame, vCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, maxIter: Int = 20,
-      jumpDepth: Int = 1, localContract: Boolean = true): DataFrame = {
+      jumpDepth: Int = 1, localContract: Boolean = true,
+      contractPasses: Int = 1, probeEvery: Int = 1): DataFrame = {
+    require(probeEvery >= 1, "probeEvery must be >= 1")
+    require(contractPasses >= 1, "contractPasses must be >= 1")
     val vset = vertices.select(col(vCol).as("node"))
+    // the loop re-plans a new QueryExecution per round; AQE turns each
+    // round's 2-3 exchanges into SEQUENTIAL query-stage
+    // materializations with a driver sync between every one — pure
+    // serial overhead when the loop's shuffle partitioning is already
+    // explicitly sized (labels are narrow and uniform; nothing here
+    // benefits from runtime re-planning). Disable it for the duration
+    // of run() and restore the caller's setting on every exit path.
+    val sess = vertices.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = sess.conf.getOption(aqeKey)
+    sess.conf.set(aqeKey, "false")
+    try {
+      runInner(vset, vertices, vCol, edges, srcCol, dstCol, maxIter,
+        jumpDepth, localContract, contractPasses, probeEvery)
+    } finally {
+      aqePrev match {
+        case Some(v) => sess.conf.set(aqeKey, v)
+        case None => sess.conf.unset(aqeKey)
+      }
+    }
+  }
+
+  private def runInner(vset: DataFrame, vertices: DataFrame, vCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int,
+      jumpDepth: Int, localContract: Boolean,
+      contractPasses: Int, probeEvery: Int): DataFrame = {
     // endpoint gating on the ORIENTED edges (half the semi-join input
     // of gating the symmetrized table); the dst-then-src order leaves
     // the join output hash-partitioned by src — star hubs co-located —
@@ -99,14 +157,6 @@ object ConnectedComponents {
       .join(vset.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
       .join(vset.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .select(col("src"), col("dst"))
-    // the contraction emits BOTH orientations in the same pass, so the
-    // symmetrizing self-union (two references that would re-run the
-    // semi-joins + contraction) disappears on that path
-    val symRaw = (if (localContract) contractLocal(oriented)
-      else oriented.unionByName(
-        oriented.select(col("dst").as("src"), col("src").as("dst"))))
-      .distinct()
-
     // ROW-WIDTH of the iterated state is what the loop pays for 10+
     // rounds of shuffle + checkpoint write + checkpoint re-read — on a
     // string-keyed corpus (16-char doc ids) every state row carries
@@ -114,18 +164,98 @@ object ConnectedComponents {
     // cluster size that traffic is exactly what saturates the shared
     // storage/memory bandwidth (BENCH.md round 5: the 2×4→4×4 collapse).
     // So non-integral vertex ids are remapped ONCE to dense longs whose
-    // ORDER MATCHES the original type's (sort + zipWithIndex — an
-    // order-preserving distributed ranking, the GraphX vertex-id
-    // design), the loop runs ~3× narrower, and labels decode at exit.
-    // min(id) ↔ min(node), so the min-label semantics are unchanged.
-    val vtype = symRaw.schema("src").dataType
+    // ORDER MATCHES the original type's, the loop runs ~3× narrower,
+    // and labels decode at exit. min(id) ↔ min(node), so the min-label
+    // semantics are unchanged. Two remap strategies:
+    //  - numeric-suffix CODEC: when one aggregate over the vertex set
+    //    PROVES every id is <common-prefix><fixed-width-digits> (the
+    //    ubiquitous doc_000001234 shape), encode/decode are narrow
+    //    codegen'd projections (substring-cast / lpad-concat) — no
+    //    sort, no zipWithIndex, no remap joins, no id-map checkpoint,
+    //    no decode joins, and the contraction pre-pass runs on
+    //    primitive longs;
+    //  - otherwise the generic order-preserving distributed ranking
+    //    (sort + zipWithIndex — the GraphX vertex-id design), paying
+    //    two remap joins going in and two decode joins coming out.
+    val vtype = oriented.schema("src").dataType
     val integral = vtype match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
+    val t0 = System.nanoTime()
+    val codec =
+      if (integral || vtype != org.apache.spark.sql.types.StringType) None
+      else numericSuffixCodec(vset)
+    val tCodec = System.nanoTime()
+    val orientedKeyed = codec match {
+      case Some((enc, _)) =>
+        oriented.select(enc(col("src")).as("src"), enc(col("dst")).as("dst"))
+      case None => oriented
+    }
+    // ---- graph reduction before the iterative loop ----
+    // Preferred path (QUOTIENT): one narrow partition-local union-find
+    // pass collapses each partition's edges to (member → hub) stars on
+    // the partition-local MIN, and the label loop then runs on the
+    // tiny hub QUOTIENT graph (hubs are connected iff they share a
+    // member) instead of the full edge table. The per-round
+    // full-table join + checkpoint traffic — the term that saturates
+    // shared memory bandwidth at the larger cluster size and caps
+    // N→4N scaling (BENCH.md round 5/6) — disappears: rounds touch
+    // thousands of hub rows, not millions of member rows. Labels
+    // project back through ONE join against the member→min-hub anchor
+    // map (AQE is re-enabled by then and typically broadcasts the hub
+    // labels). Correctness: every edge lives in exactly one partition,
+    // where its endpoints were unioned under one hub (intra-star
+    // connectivity); a vertex seen in k partitions bridges its k hubs
+    // (the quotient edges); and the global component min is ALWAYS a
+    // hub — it is the local min of its own local component in any
+    // partition containing it — so min-label over the quotient equals
+    // min-label over the original graph. Requires an ordering on the
+    // key type (hub = local min); unordered key types and
+    // localContract=false take the direct full-graph loop.
+    val keyedType =
+      if (codec.isDefined) org.apache.spark.sql.types.LongType else vtype
+    val quotient = localContract && orderingFor(keyedType) != null
+    val (anchorOpt, starsOpt, loopOriented) =
+      if (quotient) {
+        // stars: lazy-checkpointed so the scan + LSH + contraction
+        // upstream runs ONCE (materialized inside the loop-init job)
+        // even though both `refs` consumers reference it
+        val stars = Bridge.dropOriginStats(
+          contractLocal(orientedKeyed, emitBoth = false)
+            .localCheckpoint(eager = false))
+        // member rows plus hub self-rows: every endpoint appears with
+        // every hub it touches (a hub is its own hub)
+        val refs = stars.select(col("src").as("v"), col("dst").as("h"))
+          .unionByName(stars.select(col("dst").as("v"), col("dst").as("h")))
+        val anchor = Bridge.dropOriginStats(
+          refs.groupBy(col("v")).agg(min(col("h")).as("mh"))
+            .localCheckpoint(eager = false))
+        val hubEdges = refs.join(anchor, Seq("v"))
+          .select(col("mh").as("src"), col("h").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        (Some(anchor), Some(stars), hubEdges)
+      } else (None, None, orientedKeyed)
+    val symRaw = (if (quotient) {
+      var c = loopOriented.unionByName(
+        loopOriented.select(col("dst").as("src"), col("src").as("dst")))
+      // extra passes operate on the (already tiny) hub graph
+      for (_ <- 2 to contractPasses) c = contractLocal(c.repartition(col("src")))
+      c
+    } else if (localContract) {
+      // non-orderable keys: contraction still helps (arbitrary local
+      // root, both orientations emitted) but the quotient's min-hub
+      // argument does not hold, so the loop runs on the full graph
+      var c = contractLocal(orientedKeyed)
+      for (_ <- 2 to contractPasses) c = contractLocal(c.repartition(col("src")))
+      c
+    } else orientedKeyed.unionByName(
+        orientedKeyed.select(col("dst").as("src"), col("src").as("dst"))))
+      .distinct()
+
     val (symEdges, idMapOpt) =
-      if (integral) (symRaw, None)
+      if (integral || codec.isDefined || quotient) (symRaw, None)
       else {
         val endpoints = symRaw.select(col("src").as("node")).distinct()
         val idRdd = endpoints.orderBy("node").rdd.zipWithIndex()
@@ -175,8 +305,14 @@ object ConnectedComponents {
     var state = Bridge.dropOriginStats(prevCheckpoint)
     var labels = state.select(col("node"), col("lbl"))
 
+    val tInit = System.nanoTime() // init checkpoint materialized setup
     var iter = 0
     var converged = false
+    // rounds whose lazy checkpoints have not been materialized yet
+    // (probeEvery > 1); freed wholesale at the next probe, once the
+    // newest round's blocks are stored and its lineage no longer needs
+    // them
+    var pendingFree: List[DataFrame] = Nil
     while (iter < maxIter && !converged) {
       val viaNeighbors = sym
         .join(labels, sym("src") === labels("node"))
@@ -229,37 +365,71 @@ object ConnectedComponents {
         // partition and would leave the checkpoint partially stored.
         .localCheckpoint(eager = false)
       val nextClean = Bridge.dropOriginStats(next)
-      converged =
-        nextClean.filter(col("lbl") =!= col("prev")).count() == 0L
-      Bridge.freeLocalCheckpoint(prevCheckpoint)
+      iter += 1
+      if (probeEvery <= 1 || iter % probeEvery == 0 || iter == maxIter) {
+        // the probe is the materializing action for EVERY round since
+        // the last probe (their RDD lineages chain; one job computes
+        // and stores them all). Only after it returns are the older
+        // rounds' blocks safe to drop.
+        converged =
+          nextClean.filter(col("lbl") =!= col("prev")).count() == 0L
+        (prevCheckpoint :: pendingFree).foreach(Bridge.freeLocalCheckpoint)
+        pendingFree = Nil
+      } else {
+        pendingFree = prevCheckpoint :: pendingFree
+      }
       prevCheckpoint = next
       state = nextClean
       labels = nextClean.select(col("node"), col("lbl"))
-      iter += 1
     }
     sym.unpersist(blocking = false)
+    // the stars checkpoint only feeds the anchor/hub-edge derivation,
+    // both materialized (anchor into its own checkpoint) by the
+    // loop-init job — its blocks are dead weight from here on
+    starsOpt.foreach(Bridge.freeLocalCheckpoint)
     // rounds are the serial axis of this operator — surface the count
     // for scaling diagnostics (stderr, not the result)
-    System.err.println(s"[graft.cc] converged=$converged rounds=$iter jumpDepth=$jumpDepth")
+    // phase split for scaling diagnostics: codec probe / setup (scan +
+    // LSH + contraction + edge cache + init checkpoint, all inside the
+    // eager init materialization) / the label loop itself
+    val tLoop = System.nanoTime()
+    def ms(a: Long, b: Long): Long = (b - a) / 1000000L
+    System.err.println(s"[graft.cc] converged=$converged rounds=$iter " +
+      s"jumpDepth=$jumpDepth contractPasses=$contractPasses probeEvery=$probeEvery " +
+      s"codecMs=${ms(t0, tCodec)} setupMs=${ms(tCodec, tInit)} loopMs=${ms(tInit, tLoop)}")
     if (!converged) {
       // the final round's block (and the id-map checkpoint) would
       // otherwise outlive the failure (callers that swallow the throw —
       // best-of-N benches — would leak MEMORY_AND_DISK blocks per
-      // failed attempt)
-      Bridge.freeLocalCheckpoint(prevCheckpoint)
+      // failed attempt). pendingFree is empty here (the loop always
+      // probes on its last round), listed defensively.
+      (prevCheckpoint :: pendingFree).foreach(Bridge.freeLocalCheckpoint)
       idMapOpt.foreach(Bridge.freeLocalCheckpoint)
+      anchorOpt.foreach(Bridge.freeLocalCheckpoint)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds — " +
           "the graph has a component whose min-vertex eccentricity exceeds " +
           "the bound; raise maxIter (silently returning split clusters " +
           "would make a dedup pipeline keep duplicates)")
     }
-    // decode the dense long ids back to the caller's vertex values
-    // (both columns ride the same checkpointed id map)
-    val labelsOut = idMapOpt match {
+    // quotient path: expand hub labels to every endpoint through the
+    // anchor map (one join; hubs without quotient edges keep their own
+    // id via the coalesce — a single-star hub converges to itself)
+    val fullLabels = anchorOpt match {
+      case Some(anchor) =>
+        anchor.join(labels.withColumnRenamed("node", "mh"), Seq("mh"), "left")
+          .select(col("v").as("node"), coalesce(col("lbl"), col("mh")).as("lbl"))
       case None => labels
-      case Some(idMap) =>
-        labels
+    }
+    // decode the dense long ids back to the caller's vertex values —
+    // a narrow projection on the codec path, two joins over the same
+    // checkpointed id map on the ranking path
+    val labelsOut = (codec, idMapOpt) match {
+      case (Some((_, dec)), _) =>
+        fullLabels.select(dec(col("node")).as("node"), dec(col("lbl")).as("lbl"))
+      case (None, None) => fullLabels
+      case (_, Some(idMap)) =>
+        fullLabels
           .join(idMap.select(col("id").as("node"), col("node").as("_nv")), Seq("node"))
           .join(idMap.select(col("id").as("lbl"), col("node").as("_lv")), Seq("lbl"))
           .select(col("_nv").as("node"), col("_lv").as("lbl"))
@@ -269,6 +439,43 @@ object ConnectedComponents {
       .join(labelsOut.select(col("node")), Seq("node"), "left_anti")
       .withColumn("lbl", col("node"))
     labelsOut.unionByName(untouched)
+  }
+
+  /** Order-preserving string↔long codec for vertex ids of the shape
+    * `<common-prefix><fixed-width-digits>` — proven, not assumed: one
+    * map-side-combined aggregate over the FULL vertex set checks that
+    * every id matches the pattern with a single shared prefix and a
+    * single total length (⇒ a single digit width ≤ 18). Under those
+    * facts `substring→cast(long)` is injective and ORDER-preserving
+    * (equal-length strings with a common prefix compare by their digit
+    * suffix, which compares numerically when widths are equal), and
+    * `concat(prefix, lpad(…))` inverts it exactly. Returns None when
+    * any row breaks the shape — callers fall back to the generic
+    * ranking remap. */
+  private[graft] def numericSuffixCodec(vset: DataFrame)
+      : Option[(org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = {
+    val pat = "^(.*?)([0-9]{1,18})$"
+    val pfx = regexp_extract(col("node"), pat, 1)
+    val row = vset.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("node").rlike(pat), 1L).otherwise(0L)).as("m"),
+      min(pfx).as("p0"), max(pfx).as("p1"),
+      min(length(col("node"))).as("l0"), max(length(col("node"))).as("l1"))
+      .collect()(0)
+    val n = row.getLong(0)
+    if (n == 0L || row.isNullAt(1) || row.getLong(1) != n) return None
+    val (p0, p1) = (row.getString(2), row.getString(3))
+    val (l0, l1) = (row.getInt(4), row.getInt(5))
+    if (p0 != p1 || l0 != l1) return None
+    val width = l0 - p0.length
+    if (width < 1 || width > 18) return None
+    Some((
+      (c: org.apache.spark.sql.Column) =>
+        substring(c, p0.length + 1, width).cast(org.apache.spark.sql.types.LongType),
+      (c: org.apache.spark.sql.Column) =>
+        concat(lit(p0), lpad(c.cast(org.apache.spark.sql.types.StringType),
+          width, "0"))))
   }
 
   /** Partition-local union-find contraction (the "local aggregation"
@@ -284,20 +491,34 @@ object ConnectedComponents {
     * the choice only affects convergence speed. Output size is at most
     * 2·(distinct endpoints per partition), ≤ the symmetrized input and
     * usually far smaller on bucket-clustered candidate graphs. */
-  private[graft] def contractLocal(e: DataFrame): DataFrame = {
+  /** Ordering for the vertex-id types the min-hub contraction can
+    * serve; null for types where only an arbitrary-root contraction
+    * (both orientations, full loop downstream) is available. */
+  private[graft] def orderingFor(
+      dt: org.apache.spark.sql.types.DataType): Ordering[Any] = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      Ordering.by((a: Any) => a.asInstanceOf[String])
+    case org.apache.spark.sql.types.LongType =>
+      Ordering.by((a: Any) => a.asInstanceOf[Long])
+    case org.apache.spark.sql.types.IntegerType =>
+      Ordering.by((a: Any) => a.asInstanceOf[Int])
+    case org.apache.spark.sql.types.ShortType =>
+      Ordering.by((a: Any) => a.asInstanceOf[Short])
+    case _ => null
+  }
+
+  private[graft] def contractLocal(e: DataFrame,
+      emitBoth: Boolean = true): DataFrame = {
+    if (e.schema.head.dataType == org.apache.spark.sql.types.LongType &&
+        e.schema(1).dataType == org.apache.spark.sql.types.LongType)
+      return contractLocalLong(e, emitBoth)
     val spark = e.sparkSession
     val schema = e.schema
-    val ord: Ordering[Any] = e.schema.head.dataType match {
-      case org.apache.spark.sql.types.StringType =>
-        Ordering.by((a: Any) => a.asInstanceOf[String])
-      case org.apache.spark.sql.types.LongType =>
-        Ordering.by((a: Any) => a.asInstanceOf[Long])
-      case org.apache.spark.sql.types.IntegerType =>
-        Ordering.by((a: Any) => a.asInstanceOf[Int])
-      case org.apache.spark.sql.types.ShortType =>
-        Ordering.by((a: Any) => a.asInstanceOf[Short])
-      case _ => null
-    }
+    val ord: Ordering[Any] = orderingFor(e.schema.head.dataType)
+    // single-orientation (member → hub) output is only meaningful when
+    // the hub is the provable local minimum
+    require(emitBoth || ord != null,
+      "oriented star output requires an ordered vertex type")
     val rows = e.rdd.mapPartitions { it =>
       val parent = new java.util.HashMap[Any, Any]()
       // find with path halving; roots map to themselves (every vertex
@@ -335,10 +556,117 @@ object ConnectedComponents {
       keys.iterator.flatMap { v =>
         val m = repr.get(find(v))
         if (m == v) Iterator.empty
-        else Iterator(org.apache.spark.sql.Row(v, m),
+        else if (emitBoth) Iterator(org.apache.spark.sql.Row(v, m),
           org.apache.spark.sql.Row(m, v))
+        else Iterator(org.apache.spark.sql.Row(v, m))
       }
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** [[contractLocal]] specialized to long endpoints (the dense-id /
+    * codec path every large corpus takes): an open-addressing
+    * primitive long→long parent table instead of a boxed
+    * HashMap[Any,Any] — no boxing, no equals/hashCode dispatch, ~3×
+    * less memory churn on the 10^7-edge partitions the 8M-doc bench
+    * feeds it. Same algorithm: union every edge, emit both
+    * orientations of member→local-min star edges. */
+  private[graft] def contractLocalLong(e: DataFrame,
+      emitBoth: Boolean = true): DataFrame = {
+    val spark = e.sparkSession
+    val schema = e.schema
+    val rows = e.rdd.mapPartitions { it =>
+      val uf = new LongUnionFind(1 << 12)
+      it.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1))
+          uf.union(r.getLong(0), r.getLong(1))
+      }
+      if (emitBoth)
+        uf.starEdges.flatMap { case (v, m) =>
+          Iterator(org.apache.spark.sql.Row(v, m), org.apache.spark.sql.Row(m, v))
+        }
+      else
+        uf.starEdges.map { case (v, m) => org.apache.spark.sql.Row(v, m) }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Open-addressing long→long union-find (linear probing, power-of-2
+    * capacity, grow at 2/3 load; path-halving find; representative =
+    * component MIN member, maintained eagerly on union so no second
+    * pass is needed). Single-threaded, per-partition scratch. */
+  private[graft] final class LongUnionFind(initialCapacity: Int) {
+    // keys: vertex ids; vals: parent pointers. EMPTY slots hold the
+    // sentinel key Long.MinValue — a legal vertex id would collide,
+    // so union() rejects it (no real corpus keys on Long.MinValue;
+    // the generic boxed path remains for exotica).
+    private final val Empty = Long.MinValue
+    private var cap = Integer.highestOneBit(math.max(initialCapacity, 16)) * 2
+    private var keys = Array.fill[Long](cap)(Empty)
+    private var vals = new Array[Long](cap)
+    private var size = 0
+
+    private def slot(k: Long): Int = {
+      // finalizer from splitmix64 — good avalanche for sequential ids
+      var h = k * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 32)
+      var i = (h & (cap - 1)).toInt
+      while (keys(i) != Empty && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1
+      keys = Array.fill[Long](cap)(Empty)
+      vals = new Array[Long](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Empty) { val j = slot(ok(i)); keys(j) = ok(i); vals(j) = ov(i) }
+        i += 1
+      }
+    }
+
+    /** parent lookup, inserting x as its own root on first sight */
+    private def getOrInsert(x: Long): Long = {
+      val i = slot(x)
+      if (keys(i) == Empty) {
+        if ((size + 1) * 3 > cap * 2) { grow(); return getOrInsert(x) }
+        keys(i) = x; vals(i) = x; size += 1
+        x
+      } else vals(i)
+    }
+
+    private def find(x0: Long): Long = {
+      var x = x0
+      var p = getOrInsert(x)
+      while (p != x) {
+        val gp = vals(slot(p))
+        vals(slot(x)) = gp // path halving
+        x = gp
+        p = vals(slot(x))
+      }
+      x
+    }
+
+    def union(a: Long, b: Long): Unit = {
+      require(a != Empty && b != Empty,
+        "Long.MinValue vertex id collides with the open-addressing sentinel")
+      val ra = find(a)
+      val rb = find(b)
+      // min-root union: the surviving root IS the component minimum,
+      // because every inserted vertex >= its root at all times
+      if (ra < rb) vals(slot(rb)) = ra
+      else if (rb < ra) vals(slot(ra)) = rb
+    }
+
+    /** (member, componentMin) for every non-root member */
+    def starEdges: Iterator[(Long, Long)] = {
+      val ks = keys; val capNow = cap
+      (0 until capNow).iterator
+        .filter(i => ks(i) != Empty)
+        .map(i => (ks(i), find(ks(i))))
+        .filter { case (v, m) => v != m }
+    }
   }
 }

@@ -168,6 +168,54 @@ class OpsJoinSpec extends SparkSpecBase {
     assert(got == Map(
       f(1) -> f(1), f(2) -> f(1), f(3) -> f(1), f(4) -> f(1), f(5) -> f(1),
       f(6) -> f(6), f(7) -> f(7), f(8) -> f(7), f(9) -> f(7), f(10) -> f(10)))
+
+    // fixed-width ids take the PROVEN numeric-suffix codec (narrow
+    // substring/lpad remap); variable-width ids must fall back to the
+    // generic ranking remap — the min label is then LEXICOGRAPHIC
+    // ("v_100" < "v_7"), so a wrong codec accept (numeric order)
+    // would flip this component's canonical label and fail here.
+    val g = (i: Int) => s"v_$i"
+    val vertices2 = ((1 to 10) :+ 100).map(g).toDF("v")
+    val edges2 = (Seq((1, 2), (2, 3), (3, 4), (4, 5), (7, 8), (9, 8), (9, 100))
+      .map { case (a, b) => (g(a), g(b)) }).toDF("a", "b")
+    val got2 = ConnectedComponents.run(vertices2, "v", edges2, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got2 == Map(
+      g(1) -> g(1), g(2) -> g(1), g(3) -> g(1), g(4) -> g(1), g(5) -> g(1),
+      g(6) -> g(6), g(7) -> g(100), g(8) -> g(100), g(9) -> g(100),
+      g(10) -> g(10), g(100) -> g(100)))
+  }
+
+  test("numeric-suffix codec: accepts only provably fixed-shape ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    def codec(ids: Seq[String]): Option[_] =
+      ConnectedComponents.numericSuffixCodec(ids.toDF("node"))
+    assert(codec(Seq("doc_001", "doc_999", "doc_042")).isDefined)
+    assert(codec(Seq("001", "999")).isDefined) // empty prefix is legal
+    assert(codec(Seq("doc_1", "doc_22")).isEmpty)   // width varies
+    assert(codec(Seq("doc_01", "dog_02")).isEmpty)  // prefix varies
+    assert(codec(Seq("doc_01", "doc_xx")).isEmpty)  // no digit suffix
+    assert(codec(Seq.empty[String]).isEmpty)        // empty set
+    // >18-digit suffixes: the codec hashes at most the LAST 18 digits;
+    // constant overflow digits fold into the proven prefix (legal),
+    // varying overflow digits break prefix equality (rejected)
+    assert(codec(Seq("a0000000000000000000001",
+                     "a0000000000000000000002")).isDefined)
+    assert(codec(Seq("a1000000000000000000001",
+                     "a2000000000000000000002")).isEmpty)
+    // round-trip on an accepted shape: encode is order-preserving and
+    // decode inverts it exactly
+    val ids = Seq("doc_093", "doc_007", "doc_500")
+    val Some((enc, dec)) = ConnectedComponents.numericSuffixCodec(ids.toDF("node"))
+      .asInstanceOf[Option[(org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                            org.apache.spark.sql.Column => org.apache.spark.sql.Column)]]
+    val rt = ids.toDF("node")
+      .select(col("node"), enc(col("node")).as("e"))
+      .select(col("node"), col("e"), dec(col("e")).as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rt.forall { case (n, _, d) => n == d })
+    assert(rt.sortBy(_._1).map(_._2).sameElements(rt.map(_._2).sorted))
   }
 
   test("local contraction preserves components exactly on a random graph") {
@@ -207,6 +255,36 @@ class OpsJoinSpec extends SparkSpecBase {
       stars.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().count()
     assert(cs <= ss, s"contracted $cs > symmetrized $ss on hub-clustered input")
+  }
+
+  test("multi-pass contraction and batched probes leave labels identical") {
+    import spark.implicits._
+    // the same adversarial random graph shape as the contraction spec:
+    // rings + chords + dup/reversed edges across many partitions, so
+    // pass 2's endpoint re-shuffle genuinely merges cross-partition
+    // fragments, and deep chains force several label rounds — the
+    // probeEvery overshoot path (convergence detected late) is hit
+    val rnd = new scala.util.Random(4321)
+    val edges = ((0L until 390L).map(i => (i, i + rnd.nextInt(3) + 1)) ++
+      (0 until 150).map(_ => (rnd.nextInt(400).toLong, rnd.nextInt(400).toLong)))
+      .toDF("a", "b").repartition(17)
+    val vertices = (0L until 400L).toDF("v")
+    val base = ConnectedComponents.run(vertices, "v", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((passes, probe) <- Seq((2, 1), (3, 1), (1, 2), (1, 3), (2, 2))) {
+      val got = ConnectedComponents.run(vertices, "v", edges, "a", "b",
+          contractPasses = passes, probeEvery = probe)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == base, s"labels diverged at passes=$passes probe=$probe")
+    }
+    // maxIter still throws when the bound is too small for the graph,
+    // probing batched or not (the last round always probes)
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val chainV = (1L to 10L).toDF("v")
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(chainV, "v", chain, "a", "b", maxIter = 3,
+        localContract = false, probeEvery = 2).collect()
+    }
   }
 
   test("LSH star edges span exactly the same components as all-pairs edges") {

@@ -84,6 +84,11 @@ fi
 if [ "$FAMILY" = "all" ] || [ "$FAMILY" = "curate" ]; then
   family curate "/tmp/graft_bench/spans$SFX" curate "$PGC" "$CLUSTER_RUNS"
 fi
+if [ "$FAMILY" = "all" ] || [ "$FAMILY" = "exactsubstr" ]; then
+  # per-token intermediate (heaviest shuffle bytes per doc of any
+  # family) — best-of-2 like the other composite jobs
+  family exactsubstr "/tmp/graft_bench/spans$SFX" exactsubstr "$PGC" "$CLUSTER_RUNS"
+fi
 
 python3 - "$OUT" <<'EOF'
 import json, re, sys, statistics
