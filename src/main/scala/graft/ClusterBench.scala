@@ -63,6 +63,12 @@ object ClusterBench {
     sys.env.get("SPARK_GRAFT_CC_PROBE")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
 
+  /** Driver-solve ceiling for the quotient graph (edges); 0 = always
+    * run the distributed loop (the measurement baseline). */
+  private def ccLocalMax: Long =
+    sys.env.get("SPARK_GRAFT_CC_LOCALMAX")
+      .flatMap(_.toLongOption).filter(_ >= 0L).getOrElse(8000000L)
+
   private def clusterJob(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -73,7 +79,8 @@ object ClusterBench {
       8, 2, (a, b) => xxhash64(a, b))
     graft.ops.ConnectedComponents.run(
       docs.select(col("doc_id")), "doc_id", edges, "d1", "d2",
-      jumpDepth = ccJump, contractPasses = ccPasses, probeEvery = ccProbe)
+      jumpDepth = ccJump, contractPasses = ccPasses, probeEvery = ccProbe,
+      localSolveMax = ccLocalMax)
   }
 
   /** Curation job: the q64 shape at bench scale — quality gate →
@@ -97,7 +104,8 @@ object ClusterBench {
       8, 2, (a, b) => xxhash64(a, b))
     val cc = graft.ops.ConnectedComponents.run(
       quality.select(col("doc_id")), "doc_id", edges, "d1", "d2",
-      jumpDepth = ccJump, contractPasses = ccPasses, probeEvery = ccProbe)
+      jumpDepth = ccJump, contractPasses = ccPasses, probeEvery = ccProbe,
+      localSolveMax = ccLocalMax)
     cc.filter(col("node") === col("lbl")) // canonical survivors
       .join(quality.select(col("doc_id").as("node"), col("n_tokens")), Seq("node"))
       .agg(count(lit(1)).as("docs_kept"),

@@ -271,11 +271,16 @@ class OpsJoinSpec extends SparkSpecBase {
     val vertices = (0L until 400L).toDF("v")
     val base = ConnectedComponents.run(vertices, "v", edges, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    for ((passes, probe) <- Seq((2, 1), (3, 1), (1, 2), (1, 3), (2, 2))) {
+    // localSolveMax = 0 forces the distributed label loop; the default
+    // takes the driver union-find over the same quotient — labels must
+    // agree bit-for-bit across every configuration
+    for ((passes, probe, solve) <- Seq((2, 1, 0L), (3, 1, 0L), (1, 2, 0L),
+        (1, 3, 0L), (2, 2, 0L), (1, 1, 0L), (2, 1, 2000000L))) {
       val got = ConnectedComponents.run(vertices, "v", edges, "a", "b",
-          contractPasses = passes, probeEvery = probe)
+          contractPasses = passes, probeEvery = probe, localSolveMax = solve)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == base, s"labels diverged at passes=$passes probe=$probe")
+      assert(got == base,
+        s"labels diverged at passes=$passes probe=$probe localSolveMax=$solve")
     }
     // maxIter still throws when the bound is too small for the graph,
     // probing batched or not (the last round always probes)
