@@ -309,15 +309,24 @@ object ConnectedComponents {
           val schema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("node", keyedType, nullable = false),
             org.apache.spark.sql.types.StructField("lbl", keyedType, nullable = false)))
-          val rows = new java.util.ArrayList[org.apache.spark.sql.Row](pairs.length)
-          pairs.foreach { case (v, m) =>
-            rows.add(org.apache.spark.sql.Row(v, m)) }
+          // hand the label table back as a small RDD, not a
+          // LocalRelation: Row building and InternalRow conversion for
+          // ~10^6 labels is single-threaded driver time (a pure
+          // serial term both cluster sizes pay equally), whereas the
+          // parallelized form builds rows on executors and AQE
+          // broadcast-converts the decode join from the RUNTIME
+          // shuffle size of this small side — no driver-side relation
+          // materialization at all.
+          val sess = vertices.sparkSession
+          val slices = math.max(1, math.min(16, pairs.length / 100000))
+          val rowRdd = sess.sparkContext.parallelize(pairs.toSeq, slices)
+            .map { case (v, m) => org.apache.spark.sql.Row(v, m) }
           def ms0(a: Long, b: Long): Long = (b - a) / 1000000L
           System.err.println(s"[graft.cc] localSolve=true quotientEdges=$cnt " +
             s"labels=${pairs.length} contractPasses=$contractPasses " +
             s"codecMs=${ms0(t0, tCodec)} setupMs=${ms0(tCodec, tCnt)} " +
             s"solveMs=${ms0(tCnt, System.nanoTime())}")
-          Some(vertices.sparkSession.createDataFrame(rows, schema))
+          Some(sess.createDataFrame(rowRdd, schema))
         } else None
       } else None
 

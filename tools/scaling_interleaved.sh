@@ -48,11 +48,16 @@ submit() { # master label input job conf runs
   # and the 4M-doc cluster family OOMs there (the src-partitioned edge
   # cache concentrates a skewed corpus's hub keys in few partitions).
   # 6 GB heap + overhead fits the 8 GB worker allowance.
+  # stderr goes to a sidecar log (labeled), not /dev/null: the
+  # [graft.cc] phase/round diagnostics are the only way to attribute a
+  # slow leg after the fact (host burst vs plan change)
+  { echo "=== $2 $(date -u +%H:%M:%S) loadavg=$(cut -d' ' -f1-3 /proc/loadavg)" \
+      >> "${OUT%.jsonl}.stderr.log"; } 2>/dev/null || true
   SPARK_GRAFT_BENCH_RUNS="$6" /opt/spark/bin/spark-submit --master "$1" \
     --driver-memory 4g --conf spark.executor.memory=6g \
     ${5:+--conf "$5"} \
     --class graft.ClusterBench "$JAR" "$3" "$2" "$4" \
-    2>/dev/null | grep '"metric"' | tee -a "$OUT"
+    2>>"${OUT%.jsonl}.stderr.log" | grep '"metric"' | tee -a "$OUT"
 }
 
 family() { # name input job conf runs
