@@ -1841,31 +1841,19 @@ object Queries {
   private val WinnowMdW = 4
   private val q60 = QueryDef("q60_winnow_md5_oracle",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val k = WinnowMdK
       val w = WinnowMdW
+      // ONE codegen'd pass per document ([[graft.sql.Md5WinnowFps]]):
+      // gram md5s, clamped window minima, dedup+sort — bit-identical to
+      // the posexplode → window-min → collect_set/array_sort chain it
+      // replaces (pinned by Md5WinnowFpsSpec), but with no Generate
+      // row blow-up (one row per GRAM), no exchange+sort for the
+      // per-doc window and no ObjectHashAggregate pair for the set —
+      // the only remaining exchange is the final presentation sort
       val base = t(s, d, "documents")
         .filter(length(col("text")) >= k)
-        .select(col("doc_id"), col("text"),
-          (length(col("text")) - k + 1).as("n"))
-      // pre-slice the k-grams as ONE array per doc and explode THAT:
-      // exploding a (doc_id, n, text, i) row set would copy the whole
-      // text into every gram row (≈n× duplication through Generate);
-      // the array is the Generate input, evaluated once per doc
-      val grams = base
-        .select(col("doc_id"), col("n"),
-          posexplode(transform(sequence(lit(1), col("n")),
-            i => col("text").substr(i, lit(k)))).as(Seq("p", "gram")))
-        .select(col("doc_id"), col("n"), (col("p") + 1).as("i"),
-          md5(col("gram")).as("h"))
-      // rolling min over each w-gram window; the frame clamps at the
-      // partition end exactly like min(i+w, len) in Winnow.fingerprints
-      val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-        .rowsBetween(Window.currentRow, w - 1)
-      grams.withColumn("fp", min(col("h")).over(win))
-        .filter(col("i") <= greatest(col("n") - w + 1, lit(1)))
-        .groupBy(col("doc_id"))
-        .agg(array_sort(collect_set(col("fp"))).as("fps"))
+      base.select(col("doc_id"),
+          graft.sql.Md5WinnowFps.fps(col("text"), k, w).as("fps"))
         .select(col("doc_id"),
           size(col("fps")).cast("bigint").as("n_fps"),
           md5(array_join(col("fps"), ",")).as("fp_digest"))
