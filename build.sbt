@@ -32,4 +32,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Batch-throughput GC for the forked driver JVM: G1's concurrent
+  // marking + write barriers measurably stall this allocation-heavy
+  // single-JVM bench (measured 2x on the full 65-query run at sf0.1:
+  // ~118s -> 60s, every query improved — OPTIMIZATION_r07.md §JVM).
+  // Same choice tools/scaling_cluster.sh already applies per family;
+  // heap size stays parameterised via SPARK_DRIVER_MEM (8g default
+  // measured no worse than 20g here).
+  "-XX:+UseParallelGC",
 )
+
+// Optimization-round experiment passthrough (OPTIMIZATION_r07.md):
+// extra JVM flags for A/B runs without editing the build, e.g.
+// GRAFT_JIT_OPTS="-XX:TieredStopAtLevel=1".
+javaOptions ++= sys.env.get("GRAFT_JIT_OPTS").toSeq.flatMap(_.split(" ").toSeq)

@@ -1081,14 +1081,54 @@ object Queries {
 
   // exact percentiles (linear interpolation on both engines)
   private val q40 = QueryDef("q40_percentiles",
-    (s, d) => t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-        round(min(col("l_extendedprice")), 2).as("lo"),
-        round(max(col("l_extendedprice")), 2).as("hi"))
-      .orderBy(col("l_returnflag")),
+    (s, d) => {
+      // exact percentile WITHOUT the `percentile()` ImperativeAggregate:
+      // that aggregate buffers an OpenHashMap of every distinct value
+      // per group (~198k boxed doubles per flag here), serializes the
+      // maps through the exchange, and sorts on merge — all outside
+      // codegen. The same exact semantics relationally: one sort by
+      // (flag, value) + row_number, per-flag n/min/max from an
+      // unbounded window over the SAME exchange, then pick the 4
+      // bracket rows and interpolate. The arithmetic replays
+      // Percentile.getPercentile exactly — pos = p * (n-1) in double;
+      // early return when floor==ceil OR equal bracket values; else
+      // (ceil(pos)-pos)*lo + (pos-floor(pos))*hi, each product rounded
+      // then summed, no FMA on either side — so results are
+      // bit-identical (q40 oracle replays this same formula; rewrite
+      // verified value-equal to the old aggregate at sf0.01/sf0.1).
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val ranked = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          (row_number().over(wOrd).cast("bigint") - 1).as("i"),
+          count(lit(1)).over(wAll).as("n"),
+          min(col("l_extendedprice")).over(wAll).as("vmin"),
+          max(col("l_extendedprice")).over(wAll).as("vmax"))
+        .withColumn("pos50", lit(0.5) * (col("n") - 1).cast("double"))
+        .withColumn("pos90", lit(0.9) * (col("n") - 1).cast("double"))
+      def interp(posC: Column, lo: Column, hi: Column): Column =
+        when((ceil(posC) === floor(posC)) || (lo === hi), lo)
+          .otherwise((ceil(posC) - posC) * lo + (posC - floor(posC)) * hi)
+      ranked
+        .filter(col("i") === floor(col("pos50")) || col("i") === ceil(col("pos50")) ||
+          col("i") === floor(col("pos90")) || col("i") === ceil(col("pos90")))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("pos50")).as("pos50"), first(col("pos90")).as("pos90"),
+          first(col("vmin")).as("vmin"), first(col("vmax")).as("vmax"),
+          max(when(col("i") === floor(col("pos50")), col("l_extendedprice"))).as("lo50"),
+          max(when(col("i") === ceil(col("pos50")), col("l_extendedprice"))).as("hi50"),
+          max(when(col("i") === floor(col("pos90")), col("l_extendedprice"))).as("lo90"),
+          max(when(col("i") === ceil(col("pos90")), col("l_extendedprice"))).as("hi90"))
+        .select(col("l_returnflag"),
+          round(interp(col("pos50"), col("lo50"), col("hi50")), 2).as("p50"),
+          round(interp(col("pos90"), col("lo90"), col("hi90")), 2).as("p90"),
+          round(col("vmin"), 2).as("lo"),
+          round(col("vmax"), 2).as("hi"))
+        .orderBy(col("l_returnflag"))
+    },
     // NOT quantile_cont: DuckDB's bare literals make the interpolation
     // run in DECIMAL — p50 of an even-count group of 2-decimal values
     // is an exact half-cent STRUCTURALLY (decimal 52724.245 → .25),
