@@ -126,9 +126,11 @@ object ConnectedComponents {
     *                  driver-sized residual. Long-keyed quotients are
     *                  collected PACKED (primitive long pairs — 8M
     *                  edges ≈ 128 MB, well under any real driver
-    *                  heap); other key types collect as Rows, so keep
-    *                  the ceiling modest for them. 0 disables (always
-    *                  loop). The iterative loop remains the path for
+    *                  heap); other key types collect as BOXED Rows at
+    *                  ~10× the footprint, so THEIR effective ceiling
+    *                  is localSolveMax/8 (1M edges at the default —
+    *                  string quotients above it take the distributed
+    *                  loop; spec-pinned). 0 disables (always loop). The iterative loop remains the path for
     *                  genuinely huge quotients; measured at 8M docs
     *                  the quotient is 2.9M edges (1.19M hubs) from
     *                  5.1M raw star edges.
@@ -142,26 +144,8 @@ object ConnectedComponents {
     require(probeEvery >= 1, "probeEvery must be >= 1")
     require(contractPasses >= 1, "contractPasses must be >= 1")
     val vset = vertices.select(col(vCol).as("node"))
-    // the loop re-plans a new QueryExecution per round; AQE turns each
-    // round's 2-3 exchanges into SEQUENTIAL query-stage
-    // materializations with a driver sync between every one — pure
-    // serial overhead when the loop's shuffle partitioning is already
-    // explicitly sized (labels are narrow and uniform; nothing here
-    // benefits from runtime re-planning). Disable it for the duration
-    // of run() and restore the caller's setting on every exit path.
-    val sess = vertices.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = sess.conf.getOption(aqeKey)
-    sess.conf.set(aqeKey, "false")
-    try {
-      runInner(vset, vertices, vCol, edges, srcCol, dstCol, maxIter,
-        jumpDepth, localContract, contractPasses, probeEvery, localSolveMax)
-    } finally {
-      aqePrev match {
-        case Some(v) => sess.conf.set(aqeKey, v)
-        case None => sess.conf.unset(aqeKey)
-      }
-    }
+    runInner(vset, vertices, vCol, edges, srcCol, dstCol, maxIter,
+      jumpDepth, localContract, contractPasses, probeEvery, localSolveMax)
   }
 
   private def runInner(vset: DataFrame, vertices: DataFrame, vCol: String,
@@ -297,13 +281,19 @@ object ConnectedComponents {
         (remapped, Some(idMap))
       }
     // ---- driver-side solve for small quotient graphs ----
+    // type-aware ceiling: the packed primitive-long collect costs
+    // 16 B/edge, but any other key type collects BOXED Rows (strings,
+    // etc.) at ~10× that — an 8M-edge string quotient would be
+    // multiple GB of driver footprint. Non-long keyed quotients get
+    // 1/8 of the configured ceiling (1M edges at the default).
+    val effectiveSolveMax = effectiveSolveCeiling(keyedType, localSolveMax)
     val localSolved: Option[DataFrame] =
-      if (quotient && localSolveMax > 0) {
+      if (quotient && effectiveSolveMax > 0) {
         // full count first: it materializes the stars/anchor lazy
         // checkpoints COMPLETELY (a limit-collect could stop after a
         // partial partition and leave their blocks half-stored)
         val cnt = symEdges.count()
-        if (cnt <= localSolveMax) {
+        if (cnt <= effectiveSolveMax) {
           val tCnt = System.nanoTime()
           val pairs = driverSolve(symEdges, orderingFor(keyedType))
           val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -331,6 +321,22 @@ object ConnectedComponents {
       } else None
 
     val labels: DataFrame = if (localSolved.isDefined) localSolved.get else {
+    // the loop re-plans a new QueryExecution per round; AQE turns each
+    // round's 2-3 exchanges into SEQUENTIAL query-stage
+    // materializations with a driver sync between every one — pure
+    // serial overhead when the loop's shuffle partitioning is already
+    // explicitly sized (labels are narrow and uniform; nothing here
+    // benefits from runtime re-planning). Disabled for the LOOP only —
+    // the setup (gating semi-joins, contraction, quotient build,
+    // count) and the decode joins after it are ordinary one-shot
+    // plans that DO benefit from AQE's coalescing and runtime
+    // broadcast decisions (measured ~35% off q62's setup at sf0.1) —
+    // and the caller's setting is restored on every exit path.
+    val sess = vertices.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = sess.conf.getOption(aqeKey)
+    sess.conf.set(aqeKey, "false")
+    try {
     val sym = symEdges
       // co-locate the STATIC side of the per-round neighbor join ONCE:
       // distinct() leaves sym hash-partitioned by (src, dst), which the
@@ -457,6 +463,9 @@ object ConnectedComponents {
       (prevCheckpoint :: pendingFree).foreach(Bridge.freeLocalCheckpoint)
       idMapOpt.foreach(Bridge.freeLocalCheckpoint)
       anchorOpt.foreach(Bridge.freeLocalCheckpoint)
+      // the stars lazy checkpoint too: without this, each failed
+      // attempt in a best-of-N bench leaks its MEMORY_AND_DISK blocks
+      starsOpt.foreach(Bridge.freeLocalCheckpoint)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds — " +
           "the graph has a component whose min-vertex eccentricity exceeds " +
@@ -464,6 +473,12 @@ object ConnectedComponents {
           "would make a dedup pipeline keep duplicates)")
     }
     labels
+    } finally {
+      aqePrev match {
+        case Some(v) => sess.conf.set(aqeKey, v)
+        case None => sess.conf.unset(aqeKey)
+      }
+    }
     }
     // the stars checkpoint only feeds the anchor/hub-edge derivation,
     // both materialized (anchor into its own checkpoint) by the local
@@ -497,6 +512,17 @@ object ConnectedComponents {
       .withColumn("lbl", col("node"))
     labelsOut.unionByName(untouched)
   }
+
+  /** The driver-solve ceiling actually applied for a keyed type:
+    * long-keyed quotients collect PACKED (16 B/edge) and get the full
+    * configured ceiling; every other type collects boxed Rows at ~10×
+    * the footprint and gets 1/8 of it (so sub-8 configured values
+    * disable the solve entirely for boxed keys). */
+  private[graft] def effectiveSolveCeiling(
+      keyedType: org.apache.spark.sql.types.DataType,
+      localSolveMax: Long): Long =
+    if (keyedType == org.apache.spark.sql.types.LongType) localSolveMax
+    else localSolveMax / 8
 
   /** Order-preserving string↔long codec for vertex ids of the shape
     * `<common-prefix><fixed-width-digits>` — proven, not assumed: one
@@ -770,7 +796,9 @@ object ConnectedComponents {
 
     def union(a: Long, b: Long): Unit = {
       require(a != Empty && b != Empty,
-        "Long.MinValue vertex id collides with the open-addressing sentinel")
+        "Long.MinValue vertex id collides with the open-addressing " +
+          "sentinel — run ConnectedComponents with localContract=false " +
+          "(boxed path) for graphs that can carry this id")
       val ra = find(a)
       val rb = find(b)
       // min-root union: the surviving root IS the component minimum,
