@@ -1481,8 +1481,13 @@ object Queries {
         countDistinct(col("tok")).as("vocab_exact"),
         count(lit(1)).as("n_tokens"))
       .select(col("lang"), col("vocab_exact"), col("n_tokens"),
+        // 5σ, not 3σ (ADVICE r6): HLL++ error is a distribution with
+        // ~0.3%/group tail beyond 3·rsd, so the pinned-TRUE oracle
+        // could intermittently hash-mismatch on an unlucky corpus; at
+        // 5·rsd the gate is deterministic in practice while a BROKEN
+        // sketch (bias ≫ rsd) still flips it false. Output unchanged.
         (abs(col("va") - col("vocab_exact")).cast("double")
-          <= lit(3 * 0.05) * col("vocab_exact").cast("double")).as("vocab_ok"))
+          <= lit(5 * 0.05) * col("vocab_exact").cast("double")).as("vocab_ok"))
       .orderBy(col("lang")),
     Some("""SELECT lang, count(DISTINCT tok) AS vocab_exact,
               count(*) AS n_tokens, TRUE AS vocab_ok
@@ -1755,22 +1760,17 @@ object Queries {
       val base = t(s, d, "documents")
         .select(col("doc_id"), toks(col("text")).as("tk"))
         .withColumn("n", size(col("tk")))
-      // NB: Spark's sequence(1, 0) DESCENDS instead of being empty, so
-      // single-token docs need the explicit guard
-      val bigramTop = base
-        .select(col("doc_id"), explode(when(col("n") >= 2,
-          transform(sequence(lit(1), col("n") - 1),
-            i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
-          .otherwise(array().cast("array<string>")))
-          .as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_bg"))
-      base.join(bigramTop, Seq("doc_id"), "left")
+      // most-frequent-bigram stats in ONE codegen'd pass over the
+      // token array ([[graft.sql.BigramTop]]) — value-identical to the
+      // explode → (doc,bigram) count → max/sum chain it replaces
+      // (spec-pinned), with no Generate blow-up and no per-bigram
+      // exchange; NULL for sub-2-token docs = the left-join miss the
+      // coalesce below already handles
+      base.withColumn("bt", graft.sql.BigramTop.of(col("tk")))
         .select(col("doc_id"), col("n").as("n_tokens"),
           (round(lit(1.0) - size(array_distinct(col("tk"))).cast("double") / col("n"), 3)
             + lit(0.0)).as("dup_tok_frac"),
-          coalesce(round(col("top_cnt").cast("double") / col("n_bg"), 3) + lit(0.0),
+          coalesce(round(col("bt.top_cnt").cast("double") / col("bt.n_bg"), 3) + lit(0.0),
             lit(0.0)).as("top_bigram_frac"),
           when(col("n") >= 2,
             round(size(filter(sequence(lit(1), col("n") - 1),
@@ -2193,10 +2193,17 @@ object Queries {
           sequence(lit(0), col("n_tokens") - W),
           i => xxhash64(concat_ws(" ", slice(col("tk"), i + lit(1), lit(W))))))
           .as(Seq("s", "h")))
-      val dupHashes = grams.groupBy(col("h"))
-        .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
+      // duplicated-window detection as ONE exchange: a count window
+      // over h keeps exactly the rows whose hash occurs more than once
+      // — identical row set to the former groupBy(h)>1 + hash-join
+      // back, but the gram Generate runs ONCE and the grams table
+      // crosses the wire once (both sides of the old join re-derived
+      // it). Same 100-TB shape: only 8-byte hashes shuffle.
       val win = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-      val covered = grams.join(dupHashes, "h")
+      val wH = Window.partitionBy(col("h"))
+      val covered = grams
+        .withColumn("c", count(lit(1)).over(wH))
+        .filter(col("c") > 1)
         .select(col("doc_id"), col("s"))
         .withColumn("brk",
           when(col("s") - lag(col("s"), 1).over(win) >= W, 1).otherwise(0))

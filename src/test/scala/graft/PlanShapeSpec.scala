@@ -117,20 +117,23 @@ class PlanShapeSpec extends SparkSpecBase {
       .fn(spark, "/root/testdata/sf0.001")
     df.collect() // finalize AQE
     val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
-    // shuffle budget: one hash exchange on the gram hash (after a
-    // partial count — map-side combine), one on doc_id REUSED by both
+    // shuffle budget: one hash exchange on the gram hash (the count
+    // window that keeps rows whose hash repeats — r7: replaces the
+    // former groupBy(h)+self-join, so the gram table crosses the wire
+    // ONCE and the Generate runs once), one on doc_id REUSED by both
     // windows and both aggregate pairs, one range exchange for the
     // total order; the gram STRING itself must never be a shuffle key
     // (concat_ws stays inside the Generate, only xxhash64 output moves)
     val hashEx = plan.split("Exchange hashpartitioning").length - 1
     assert(hashEx <= 2, s"q65 hash-shuffles $hashEx times:\n$plan")
     assert(plan.contains("hashpartitioning(h#"),
-      s"gram-count shuffle not keyed on the 64-bit hash:\n$plan")
+      s"dup-window shuffle not keyed on the 64-bit hash:\n$plan")
     val exchangeLines = plan.linesIterator.filter(_.contains("Exchange"))
     assert(!exchangeLines.exists(_.contains("concat_ws")),
       s"gram string reached an exchange:\n$plan")
-    assert(plan.contains("partial_count"),
-      s"gram count not map-side combined:\n$plan")
+    val generates = plan.split("Generate").length - 1
+    assert(generates == 1,
+      s"gram table derived $generates times (expected one Generate):\n$plan")
   }
 
   test("whole-stage codegen wraps the relational aggregate (q01)") {
