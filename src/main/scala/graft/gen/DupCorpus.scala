@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
   * size dupPct, the corpus stays the same row count, and doc_ids are
   * untouched (codec shape preserved).
   *
-  * Usage: runMain graft.gen.DupCorpus <inDir> <outDir> <dupPct>
+  * Usage: runMain graft.gen.DupCorpus <inDir> <outDir> <dupPct> [files]
   */
 object DupCorpus {
   def main(args: Array[String]): Unit = {
     val Array(in, out, dupPctS) = args.take(3)
     val dupPct = dupPctS.toInt
+    // match GenCorpus's 128-file layout: ClusterBench sizes its scan
+    // splits from the max FILE size, so a 16-file write would hand
+    // each task 8x the rows and blow the executor heap
+    val files = if (args.length > 3) args(3).toInt else 128
     require(dupPct >= 0 && dupPct <= 99, "dupPct in [0,99]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -41,7 +45,7 @@ object DupCorpus {
         when(col("_n") % 100 >= 1 && col("_n") % 100 < dupPct
             && col("_hubSpans").isNotNull, col("_hubSpans"))
           .otherwise(col("spans")).as("spans"))
-    outDf.write.mode("overwrite").parquet(out)
+    outDf.repartition(files).write.mode("overwrite").parquet(out)
     println(s"""{"metric":"dup_corpus","in":"$in","out":"$out","dup_pct":$dupPct}""")
     spark.stop()
   }
