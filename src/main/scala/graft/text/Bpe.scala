@@ -40,10 +40,30 @@ final case class BpeModel(alphabet: Vector[String],
   /** symbol → token id. Covers every symbol [[Bpe.encode]] can emit
     * for in-alphabet text; out-of-alphabet characters (new scripts in
     * a later corpus slice) are NOT silently assigned — callers map
-    * them to [[BpeModel.UnknownId]]. */
+    * them to [[BpeModel.UnknownId]]. Surface-string collisions (two
+    * merges whose concatenations produce the same string, e.g.
+    * ("a","bc") and ("ab","c") → "abc") would silently collapse ids
+    * under `.toMap` — [[assertDistinctVocab]] (called at learn and
+    * load time) rejects such artifacts loudly instead. */
   lazy val vocab: Map[String, Int] =
     ((Bpe.Eow +: alphabet).distinct ++ merges.map { case (a, b) => a + b })
       .zipWithIndex.toMap
+
+  /** Throws if two vocabulary entries share a surface string (the
+    * artifact would have fewer usable ids than rows, invisibly). */
+  def assertDistinctVocab(): BpeModel = {
+    val syms = (Bpe.Eow +: alphabet).distinct ++ merges.map { case (a, b) => a + b }
+    if (vocab.size != syms.size) {
+      val dups = syms.groupBy(identity).collect {
+        case (s, g) if g.size > 1 => s
+      }.toSeq.sorted
+      throw new IllegalArgumentException(
+        s"BPE vocab surface-string collision: ${dups.take(5).mkString(", ")} — " +
+          "two merges concatenate to the same token string; ids would " +
+          "silently collapse at encode time")
+    }
+    this
+  }
 
   def tokenId(sym: String): Int = vocab.getOrElse(sym, BpeModel.UnknownId)
 }
@@ -86,6 +106,7 @@ object Bpe {
     val alphabet = types.iterator.flatMap(_._1.iterator)
       .map(_.toString).toVector.distinct.sorted
     BpeModel(alphabet, learnFromTypes(types, nMerges, minCount).toVector)
+      .assertDistinctVocab()
   }
 
   /** Persist a learned model as a new version of a
@@ -121,7 +142,7 @@ object Bpe {
       .sortBy(_.getInt(1)).map(_.getString(2)).toVector
     val merges = rows.filter(_.getString(0) == "merge")
       .sortBy(_.getInt(1)).map(r => (r.getString(2), r.getString(3))).toVector
-    BpeModel(alphabet, merges)
+    BpeModel(alphabet, merges).assertDistinctVocab()
   }
 
   /** The merge loop itself, exposed for tests: `types` are (word,

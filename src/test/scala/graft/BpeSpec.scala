@@ -105,4 +105,22 @@ class BpeSpec extends SparkSpecBase {
     assert(Bpe.load(spark, root) == model2)
     assert(Bpe.load(spark, root, Some(v1)) == model)
   }
+
+  test("vocab surface-string collision is rejected at learn/load (VERDICT r6 #4)") {
+    import graft.text.BpeModel
+    // crafted colliding pair: ("a","bc") and ("ab","c") both
+    // concatenate to "abc" — under .toMap the second id would
+    // silently shadow the first
+    val colliding = BpeModel(Vector("a", "b", "c"),
+      Vector(("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c")))
+    val ex = intercept[IllegalArgumentException](colliding.assertDistinctVocab())
+    assert(ex.getMessage.contains("abc"))
+    // a healthy model (the classic corpus) passes and keeps one id per row
+    val m = Bpe.learnModel(
+      { import spark.implicits._
+        classicTypes.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+          .toDF("text") }, "text", nMerges = 10)
+    assert(m.assertDistinctVocab() eq m)
+    assert(m.vocab.size == (Bpe.Eow +: m.alphabet).distinct.size + m.merges.size)
+  }
 }
