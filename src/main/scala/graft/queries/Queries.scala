@@ -1099,14 +1099,19 @@ object Queries {
       import org.apache.spark.sql.expressions.Window
       val wOrd = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_extendedprice"))
-      val wAll = Window.partitionBy(col("l_returnflag"))
-      val ranked = t(s, d, "lineitem")
+      val li = t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"))
+      // n/min/max from a tiny broadcast aggregate, NOT an
+      // unbounded-frame window: the window frame would buffer every
+      // partition's rows (the streaming row_number frame does not)
+      val stats = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("vmin"),
+          max(col("l_extendedprice")).as("vmax"))
+      val ranked = li
         .select(col("l_returnflag"), col("l_extendedprice"),
-          (row_number().over(wOrd).cast("bigint") - 1).as("i"),
-          count(lit(1)).over(wAll).as("n"),
-          min(col("l_extendedprice")).over(wAll).as("vmin"),
-          max(col("l_extendedprice")).over(wAll).as("vmax"))
+          (row_number().over(wOrd).cast("bigint") - 1).as("i"))
+        .join(broadcast(stats), Seq("l_returnflag"))
         .withColumn("pos50", lit(0.5) * (col("n") - 1).cast("double"))
         .withColumn("pos90", lit(0.9) * (col("n") - 1).cast("double"))
       def interp(posC: Column, lo: Column, hi: Column): Column =

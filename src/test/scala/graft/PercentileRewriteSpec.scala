@@ -23,13 +23,14 @@ class PercentileRewriteSpec extends SparkSpecBase {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice"))
-    val wAll = Window.partitionBy(col("l_returnflag"))
+    val stats = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("vmin"),
+        max(col("l_extendedprice")).as("vmax"))
     val ranked = li
       .select(col("l_returnflag"), col("l_extendedprice"),
-        (row_number().over(wOrd).cast("bigint") - 1).as("i"),
-        count(lit(1)).over(wAll).as("n"),
-        min(col("l_extendedprice")).over(wAll).as("vmin"),
-        max(col("l_extendedprice")).over(wAll).as("vmax"))
+        (row_number().over(wOrd).cast("bigint") - 1).as("i"))
+      .join(broadcast(stats), Seq("l_returnflag"))
       .withColumn("pos50", lit(0.5) * (col("n") - 1).cast("double"))
       .withColumn("pos90", lit(0.9) * (col("n") - 1).cast("double"))
     def interp(posC: org.apache.spark.sql.Column,
